@@ -1,0 +1,183 @@
+"""Typed model/engine configuration.
+
+The reference scatters configuration across per-script argparse blocks
+(reference: FSC_finetune_cross.py:30-107, FSC_pretrain.py:33-108,
+FSC_test_cross(few-shot).py:26-78). Here a single set of frozen
+dataclasses carries every knob; CLI entry points build presets from
+these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# Density maps are scaled by this factor at synthesis time and divided
+# back at count readout (reference: util/FSC147.py:278,
+# FSC_test_cross(few-shot).py:351).
+DENSITY_SCALE = 60.0
+
+# All spatial processing happens on 384x384 windows; widths are snapped
+# to multiples of 16 (reference: util/FSC147.py:17,
+# FSC_test_cross(few-shot).py:148-149).
+IMG_SIZE = 384
+PATCH_SIZE = 16
+EXEMPLAR_SIZE = 64
+MAX_SHOTS = 3
+
+# Sliding-window inference geometry (reference:
+# FSC_test_cross(few-shot).py:294-349).
+WINDOW = 384
+STRIDE = 128
+
+# Test-time normalization threshold (reference:
+# FSC_test_cross(few-shot).py:353-359).
+TTN_THRESHOLD = 1.8
+
+
+@dataclasses.dataclass(frozen=True)
+class CounTRConfig:
+    """Counting model (SupervisedMAE equivalent).
+
+    reference: models_mae_cross.py:18-106 (architecture),
+    :210-253 (named size presets).
+    """
+
+    img_size: int = IMG_SIZE
+    patch_size: int = PATCH_SIZE
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    decoder_embed_dim: int = 512
+    decoder_depth: int = 2
+    decoder_num_heads: int = 16
+    mlp_ratio: float = 4.0
+    ln_eps: float = 1e-6
+    # Compute dtype for matmuls/convs; params stay fp32. fp32 gives
+    # bit-parity with the reference test path; bf16 rides the MXU.
+    dtype: jnp.dtype = jnp.float32
+    # Use the fused Pallas attention kernel on TPU for encoder
+    # self-attention (falls back to XLA attention elsewhere).
+    use_pallas_attention: bool = False
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+@dataclasses.dataclass(frozen=True)
+class MAEConfig:
+    """MAE pre-training model (MaskedAutoencoderViTNoCT equivalent).
+
+    reference: models_mae_noct.py:11-51, :207-234 (presets).
+    """
+
+    img_size: int = IMG_SIZE
+    patch_size: int = PATCH_SIZE
+    in_chans: int = 3
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    decoder_embed_dim: int = 512
+    decoder_depth: int = 8
+    decoder_num_heads: int = 16
+    mlp_ratio: float = 4.0
+    ln_eps: float = 1e-6
+    norm_pix_loss: bool = False
+    mask_ratio: float = 0.5  # reference: FSC_pretrain.py:45
+    dtype: jnp.dtype = jnp.float32
+    use_pallas_attention: bool = False
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Shared training-engine knobs.
+
+    Defaults mirror the reference fine-tune script
+    (reference: FSC_finetune_cross.py:30-107, run.sh:11-13).
+    """
+
+    batch_size: int = 8
+    epochs: int = 1000
+    warmup_epochs: int = 10
+    blr: float = 2e-4
+    lr: Optional[float] = None  # resolved as blr * eff_batch / 256
+    min_lr: float = 0.0
+    weight_decay: float = 0.05
+    accum_iter: int = 1
+    seed: int = 0
+    # Loss pixel-mask keep probability (reference:
+    # FSC_finetune_cross.py:290).
+    loss_mask_p: float = 0.8
+    # bf16 activations during training (params/opt state fp32).
+    bf16: bool = True
+    output_dir: str = "./out"
+    ckpt_every_epochs: int = 50
+    log_every_steps: int = 50
+
+    def resolved_lr(self, world_batch: int) -> float:
+        if self.lr is not None:
+            return self.lr
+        # reference: FSC_finetune_cross.py:220-221 (lr = blr * eff/256)
+        return self.blr * world_batch / 256.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TestConfig:
+    """Inference-engine knobs (reference: FSC_test_cross(few-shot).py:26-78)."""
+
+    split: str = "test"
+    external: bool = False
+    box_bound: int = -1
+    # >= this many tiny (<10x10) exemplars triggers 3x3 grid mode
+    # (reference: FSC_test_cross(few-shot).py:59-60, :264-273).
+    max_s_cnt: int = 1
+    normalization: bool = True
+    batch_windows: int = 32  # device batch of 384x384 windows
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Named presets, mirroring the reference factory registry
+# (reference: models_mae_cross.py:210-253, models_mae_noct.py:207-234;
+# looked up by the scripts as models_mae_cross.__dict__[args.model]).
+# ---------------------------------------------------------------------------
+
+COUNTR_PRESETS = {
+    # decoder_depth=2 ("dec512d8b" name kept for CLI compat)
+    "mae_vit_base_patch16": CounTRConfig(),
+    "mae_vit_base_patch16_dec512d8b": CounTRConfig(),
+    # 4 interaction blocks
+    "mae_vit_base4_patch16": CounTRConfig(decoder_depth=4),
+    "mae_vit_base_patch16_fim4": CounTRConfig(decoder_depth=4),
+    # 6 interaction blocks — the released-weights config
+    "mae_vit_base6_patch16": CounTRConfig(decoder_depth=6),
+    "mae_vit_base_patch16_fim6": CounTRConfig(decoder_depth=6),
+    "mae_vit_large_patch16": CounTRConfig(embed_dim=1024, depth=24, num_heads=16),
+    "mae_vit_huge_patch14": CounTRConfig(
+        patch_size=14, embed_dim=1280, depth=32, num_heads=16, img_size=378
+    ),
+}
+
+MAE_PRESETS = {
+    "mae_vit_base_patch16": MAEConfig(),
+    "mae_vit_large_patch16": MAEConfig(embed_dim=1024, depth=24, num_heads=16),
+    "mae_vit_huge_patch14": MAEConfig(
+        patch_size=14, embed_dim=1280, depth=32, num_heads=16, img_size=378
+    ),
+}
