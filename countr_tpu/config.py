@@ -62,6 +62,10 @@ class CounTRConfig:
     # Use the fused Pallas attention kernel on TPU for encoder
     # self-attention (falls back to XLA attention elsewhere).
     use_pallas_attention: bool = False
+    # The reference always runs the encoder under torch.no_grad()
+    # (reference: models_mae_cross.py:204-205), freezing it during
+    # fine-tuning; stop_gradient reproduces that.
+    freeze_encoder: bool = True
 
     @property
     def grid_size(self) -> int:

@@ -1,0 +1,237 @@
+"""CounTR counting model: frozen ViT encoder + exemplar CNN +
+cross-attention interaction decoder + density regression head.
+
+TPU-native re-design of the reference SupervisedMAE
+(reference: models_mae_cross.py:18-207):
+
+- NHWC everywhere; convs and the patch-embed matmul hit the MXU.
+- ``shot_num`` is a static (trace-time) argument — there are only four
+  values (0..3), each compiles once; the exemplar CNN runs the shot dim
+  folded into the batch in a single pass instead of the reference's
+  Python loop over shots (reference: models_mae_cross.py:162-171).
+- The encoder output is stop_gradient'ed, matching the reference's
+  torch.no_grad() encoder freeze (reference: models_mae_cross.py:204-205).
+
+forward contract (reference: models_mae_cross.py:201-207):
+  imgs  [B, 384, 384, 3] float in [0,1]
+  boxes [B, 3, 64, 64, 3] exemplar crops (slots beyond shot_num ignored)
+  -> density [B, 384, 384], count = density.sum()/60
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from countr_tpu.config import CounTRConfig
+from countr_tpu.ops.attention import matmul_precision, multi_head_attention
+from countr_tpu.ops.norms import group_norm, instance_norm
+from countr_tpu.ops.posembed import get_2d_sincos_pos_embed
+from countr_tpu.ops.upsample import upsample2x_bilinear
+from countr_tpu.models.vit import Block, LayerNorm, Mlp, PatchEmbed, SelfAttention
+
+
+class CrossAttention(nn.Module):
+    """Separate-wq/wk/wv cross-attention: image tokens query exemplar
+    tokens (reference: models_crossvit.py:96-128)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        prec = matmul_precision(self.dtype)
+        dense = lambda name: nn.Dense(  # noqa: E731
+            c, dtype=self.dtype, param_dtype=jnp.float32, precision=prec,
+            name=name,
+        )
+        q = dense("wq")(x)
+        k = dense("wk")(y)
+        v = dense("wv")(y)
+        out = multi_head_attention(q, k, v, self.num_heads, precision=prec)
+        return dense("proj")(out)
+
+
+class CrossAttentionBlock(nn.Module):
+    """self-attn -> cross-attn -> MLP, each pre-norm residual; only the
+    query side is normalized before cross-attention
+    (reference: models_crossvit.py:130-156)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    ln_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        x = x + SelfAttention(self.num_heads, dtype=self.dtype, name="selfattn")(
+            LayerNorm(self.ln_eps, self.dtype, name="norm0")(x)
+        )
+        x = x + CrossAttention(self.num_heads, dtype=self.dtype, name="attn")(
+            LayerNorm(self.ln_eps, self.dtype, name="norm1")(x), y
+        )
+        x = x + Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")(
+            LayerNorm(self.ln_eps, self.dtype, name="norm2")(x)
+        )
+        return x
+
+
+class ExemplarEncoder(nn.Module):
+    """4-stage CNN embedding a 64x64 exemplar crop to a 512-d token
+    (reference: models_mae_cross.py:47-71). InstanceNorm is affine-free
+    (torch default), so the only params are the conv kernels."""
+
+    out_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        prec = matmul_precision(self.dtype)
+        widths = (64, 128, 256, self.out_dim)
+        for i, w in enumerate(widths):
+            x = nn.Conv(
+                w, (3, 3), padding="SAME", dtype=self.dtype,
+                param_dtype=jnp.float32, precision=prec, name=f"conv{i + 1}",
+            )(x)
+            x = instance_norm(x)
+            x = nn.relu(x)
+            if i < 3:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d((1,1))
+        return x  # [N, out_dim]
+
+
+class DensityHead(nn.Module):
+    """Token grid -> density map: 4x {conv3x3 + GroupNorm(8,256) + ReLU
+    + bilinear 2x}, final 1x1 conv to one channel
+    (reference: models_mae_cross.py:80-100, :184-198). Note the 1x1 conv
+    output is upsampled 192->384 *after* projection, exactly like the
+    reference's last F.interpolate."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        prec = matmul_precision(self.dtype)
+
+        def stage(x, idx):
+            x = nn.Conv(
+                256, (3, 3), padding="SAME", dtype=self.dtype,
+                param_dtype=jnp.float32, precision=prec, name=f"conv{idx}",
+            )(x)
+            gn_scale = self.param(f"gn{idx}_scale", nn.initializers.ones, (256,), jnp.float32)
+            gn_bias = self.param(f"gn{idx}_bias", nn.initializers.zeros, (256,), jnp.float32)
+            x = group_norm(x, gn_scale, gn_bias, num_groups=8)
+            return nn.relu(x)
+
+        for idx in range(4):
+            x = stage(x, idx)
+            if idx < 3:
+                x = upsample2x_bilinear(x)
+        x = nn.Conv(
+            1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+            precision=prec, name="pred",
+        )(x)
+        x = upsample2x_bilinear(x)
+        return x[..., 0]  # [B, H, W]
+
+
+class CounTR(nn.Module):
+    """The counting model. ``shot_num`` must be a Python int (0..3)."""
+
+    cfg: CounTRConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.patch_embed = PatchEmbed(cfg.patch_size, cfg.embed_dim, cfg.dtype)
+        self.blocks = [
+            Block(
+                cfg.num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
+                use_pallas=cfg.use_pallas_attention, name=f"blocks_{i}",
+            )
+            for i in range(cfg.depth)
+        ]
+        self.norm = LayerNorm(cfg.ln_eps, cfg.dtype, name="norm")
+        self.decoder_embed = nn.Dense(
+            cfg.decoder_embed_dim, dtype=cfg.dtype, param_dtype=jnp.float32,
+            precision=matmul_precision(cfg.dtype), name="decoder_embed",
+        )
+        self.shot_token = self.param(
+            "shot_token",
+            nn.initializers.normal(stddev=0.02),
+            (cfg.decoder_embed_dim,),
+            jnp.float32,
+        )
+        self.exemplar_encoder = ExemplarEncoder(
+            cfg.decoder_embed_dim, cfg.dtype, name="exemplar_encoder"
+        )
+        self.decoder_blocks = [
+            CrossAttentionBlock(
+                cfg.decoder_num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
+                name=f"decoder_blocks_{i}",
+            )
+            for i in range(cfg.decoder_depth)
+        ]
+        self.decoder_norm = LayerNorm(cfg.ln_eps, cfg.dtype, name="decoder_norm")
+        self.density_head = DensityHead(cfg.dtype, name="density_head")
+        # Fixed (non-learned) sin-cos position embeddings
+        # (reference: models_mae_cross.py:30,42,111-115).
+        self.pos_embed = jnp.asarray(
+            get_2d_sincos_pos_embed(cfg.embed_dim, cfg.grid_size)
+        )
+        self.decoder_pos_embed = jnp.asarray(
+            get_2d_sincos_pos_embed(cfg.decoder_embed_dim, cfg.grid_size)
+        )
+
+    def encode(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        """ViT encoder: [B,384,384,3] -> [B,576,768]
+        (reference: models_mae_cross.py:136-148)."""
+        x = self.patch_embed(imgs)
+        x = x + self.pos_embed.astype(x.dtype)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)
+
+    def encode_exemplars(self, boxes: jnp.ndarray, shot_num: int) -> jnp.ndarray:
+        """[B,3,64,64,3] -> [B, max(shot_num,1), 512] exemplar tokens;
+        shot_num==0 uses the learned shot token
+        (reference: models_mae_cross.py:156-177)."""
+        b = boxes.shape[0]
+        cfg = self.cfg
+        if shot_num == 0:
+            return jnp.broadcast_to(
+                self.shot_token.astype(cfg.dtype), (b, 1, cfg.decoder_embed_dim)
+            )
+        sel = boxes[:, :shot_num].astype(cfg.dtype)
+        flat = sel.reshape(b * shot_num, *boxes.shape[2:])
+        feats = self.exemplar_encoder(flat)
+        return feats.reshape(b, shot_num, cfg.decoder_embed_dim)
+
+    def decode(
+        self, latent: jnp.ndarray, boxes: jnp.ndarray, shot_num: int
+    ) -> jnp.ndarray:
+        """Interaction decoder + density head
+        (reference: models_mae_cross.py:150-199)."""
+        cfg = self.cfg
+        x = self.decoder_embed(latent)
+        x = x + self.decoder_pos_embed.astype(x.dtype)
+        y = self.encode_exemplars(boxes, shot_num)
+        for blk in self.decoder_blocks:
+            x = blk(x, y)
+        x = self.decoder_norm(x)
+        b, hw, c = x.shape
+        g = cfg.grid_size
+        x = x.reshape(b, g, g, c)
+        return self.density_head(x).astype(jnp.float32)
+
+    def __call__(
+        self, imgs: jnp.ndarray, boxes: jnp.ndarray, shot_num: int = 3
+    ) -> jnp.ndarray:
+        latent = self.encode(imgs)
+        if self.cfg.freeze_encoder:
+            latent = jax.lax.stop_gradient(latent)
+        return self.decode(latent, boxes, shot_num)
