@@ -211,22 +211,36 @@ class CounTR(nn.Module):
         feats = self.exemplar_encoder(flat)
         return feats.reshape(b, shot_num, cfg.decoder_embed_dim)
 
-    def decode(
-        self, latent: jnp.ndarray, boxes: jnp.ndarray, shot_num: int
-    ) -> jnp.ndarray:
-        """Interaction decoder + density head
-        (reference: models_mae_cross.py:150-199)."""
+    def decode_tokens(self, latent: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Interaction decoder + density head, given exemplar tokens
+        ``y`` [B, n_shot, C] (reference: models_mae_cross.py:150-199).
+
+        Separated from exemplar encoding so the inference engine can
+        embed an image's exemplars once and reuse them for every
+        sliding window of that image."""
         cfg = self.cfg
         x = self.decoder_embed(latent)
         x = x + self.decoder_pos_embed.astype(x.dtype)
-        y = self.encode_exemplars(boxes, shot_num)
         for blk in self.decoder_blocks:
-            x = blk(x, y)
+            x = blk(x, y.astype(x.dtype))
         x = self.decoder_norm(x)
         b, hw, c = x.shape
         g = cfg.grid_size
         x = x.reshape(b, g, g, c)
         return self.density_head(x).astype(jnp.float32)
+
+    def decode(
+        self, latent: jnp.ndarray, boxes: jnp.ndarray, shot_num: int
+    ) -> jnp.ndarray:
+        return self.decode_tokens(latent, self.encode_exemplars(boxes, shot_num))
+
+    def forward_tokens(self, imgs: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """Forward with precomputed exemplar tokens (the batched-window
+        inference path)."""
+        latent = self.encode(imgs)
+        if self.cfg.freeze_encoder:
+            latent = jax.lax.stop_gradient(latent)
+        return self.decode_tokens(latent, y)
 
     def __call__(
         self, imgs: jnp.ndarray, boxes: jnp.ndarray, shot_num: int = 3
