@@ -1,0 +1,102 @@
+"""Headline benchmark: FSC147-style few-shot sliding-window counting
+throughput (images/sec/chip) on the flagship mae_vit_base6_patch16
+model in bf16.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The workload replicates the reference benchmark's geometry
+(FSC_test_cross(few-shot).py): H=384, widths snapped to multiples of
+16 drawn from the FSC147 aspect distribution, 3 exemplar boxes, full
+sliding-window + overlap stitch + test-time normalization per image.
+FSC147 images/weights are not downloadable in this environment, so the
+pixel content is synthetic — throughput is content-independent.
+
+vs_baseline: the reference publishes no throughput number
+(BASELINE.md); it runs >=ceil((w-384)/128)+1 serial fp32 torch
+forwards per image on an RTX 3090. We use 2.0 images/sec as the
+baseline estimate (~0.5 s/image mean infer time for the 3090 pipeline)
+— the value the driver records is ours; vs_baseline is this ratio.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 2.0
+N_IMAGES = 64
+BATCH_WINDOWS = 32
+
+
+def main():
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from countr_tpu.engine.inference import CountingEngine
+    from countr_tpu.models import build_countr
+    from countr_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(0)
+    model = build_countr("mae_vit_base6_patch16", dtype=jnp.bfloat16)
+    params = jax.jit(model.init, static_argnums=(3,))(
+        jax.random.key(0),
+        jnp.zeros((1, 384, 384, 3), jnp.float32),
+        jnp.zeros((1, 3, 64, 64, 3), jnp.float32),
+        3,
+    )
+    engine = CountingEngine(model, params, batch_windows=BATCH_WINDOWS)
+
+    # FSC147-like width distribution (H=384, W multiple of 16); uint8
+    # pixels, matching the real test pipeline's PIL output.
+    widths = [384, 448, 512, 512, 576, 640, 512, 688, 512, 464, 576, 512]
+    images = [
+        rng.integers(0, 256, (384, widths[i % len(widths)], 3), dtype=np.uint8)
+        for i in range(N_IMAGES)
+    ]
+    boxes = [rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32) for _ in images]
+    rects = [
+        [(40, 40, 110, 120), (150, 60, 230, 140), (250, 200, 330, 300)]
+        for _ in images
+    ]
+
+    # Warmup pass compiles every shape (pooled forward + exemplar CNN).
+    note("compiling + warmup...")
+    t_c = time.perf_counter()
+    engine.count_batch(images, boxes, rects, shot_num=3, return_density=False)
+    note(f"warmup done in {time.perf_counter() - t_c:.1f}s; timing...")
+
+    t0 = time.perf_counter()
+    results = engine.count_batch(
+        images, boxes, rects, shot_num=3, return_density=False
+    )
+    dt = time.perf_counter() - t0
+
+    n_windows = sum(r.n_windows for r in results)
+    ips = len(images) / dt
+    out = {
+        "metric": "FSC147-geometry few-shot sliding-window throughput",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
+        "detail": {
+            "n_images": len(images),
+            "n_windows": n_windows,
+            "windows_per_sec": round(n_windows / dt, 1),
+            "batch_windows": BATCH_WINDOWS,
+            "dtype": "bfloat16",
+            "model": "mae_vit_base6_patch16",
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

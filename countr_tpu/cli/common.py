@@ -1,0 +1,91 @@
+"""Shared CLI plumbing: argument groups, model build, weight loading.
+
+The reference duplicates its argparse block per script (reference:
+FSC_finetune_cross.py:30-107, FSC_pretrain.py:33-108,
+FSC_test_cross(few-shot).py:26-78); here every entry point composes
+these groups. Dataset path flags mirror the reference's names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from countr_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def add_data_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data_path", default="./data/FSC147/", type=str)
+    p.add_argument("--anno_file", default="annotation_FSC147_384.json", type=str)
+    p.add_argument("--data_split_file", default="Train_Test_Val_FSC_147.json", type=str)
+    p.add_argument("--im_dir", default="images_384_VarV2", type=str)
+    p.add_argument("--class_file", default="ImageClasses_FSC147.txt", type=str)
+    p.add_argument("--output_dir", default="./out", type=str)
+
+
+def add_model_args(p: argparse.ArgumentParser, default_model: str = "mae_vit_base_patch16") -> None:
+    p.add_argument("--model", default=default_model, type=str,
+                   help="model preset name (see countr_tpu.config.COUNTR_PRESETS)")
+    p.add_argument("--resume", default="", type=str,
+                   help=".pth checkpoint (reference format) or orbax dir")
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
+                   help="compute dtype; fp32 gives bit-parity with the torch reference")
+    p.add_argument("--seed", default=0, type=int)
+
+
+def parse_dtype(name: str):
+    return jnp.bfloat16 if name == "bf16" else jnp.float32
+
+
+def load_meta(args):
+    from countr_tpu.data.fsc147 import FSC147Meta
+
+    return FSC147Meta.load(
+        args.data_path, args.anno_file, args.data_split_file, args.im_dir,
+        args.class_file,
+    )
+
+
+def build_counting_model(args) -> Tuple[object, dict]:
+    """Build the counting model and load weights per --resume:
+    - path ending in .pth: reference torch checkpoint via the converter
+      (covers released FSC147 weights; reference loader equivalent:
+      util/misc.py:363-376)
+    - directory: orbax checkpoint saved by our trainer
+    - empty: random init (useful for smoke tests only)
+    """
+    from countr_tpu.models import build_countr
+    from countr_tpu.engine import checkpoint as ckpt
+
+    model = build_countr(args.model, dtype=parse_dtype(args.dtype))
+    cfg = model.cfg
+
+    imgs = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    boxes = jnp.zeros((1, 3, 64, 64, 3), jnp.float32)
+    if args.resume and args.resume.endswith(".pth"):
+        sd = ckpt.load_torch_checkpoint(args.resume)
+        params = ckpt.convert_countr_state_dict(
+            sd, depth=cfg.depth, decoder_depth=cfg.decoder_depth
+        )
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        params = jax.jit(model.init, static_argnums=(3,))(
+            jax.random.key(args.seed), imgs, boxes, 3
+        )
+        if args.resume:
+            restored, step = ckpt.restore_checkpoint(args.resume, {"params": params["params"]})
+            params = {"params": restored["params"]}
+            print(f"restored orbax checkpoint step {step} from {args.resume}")
+    return model, params
+
+
+def ensure_outdir(args) -> Optional[str]:
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+    return args.output_dir or None

@@ -1,0 +1,234 @@
+"""FSC147 supervised fine-tuning of the counting decoder.
+
+Mirrors the reference fine-tune entry point's capabilities
+(reference: FSC_finetune_cross.py): encoder frozen (stop_gradient),
+masked-MSE loss, per-batch shot-number sampling with the m_flag rule,
+per-epoch validation with MAE/RMSE/NAE, periodic/last/min-MAE
+checkpoints — re-engineered as one jitted data-parallel step over the
+device mesh with a prefetching host pipeline.
+
+Usage:
+  python -m countr_tpu.cli.finetune --data_path ./data/FSC147 \
+      --model mae_vit_base6_patch16 --epochs 1000 --batch_size 8 --blr 2e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from countr_tpu.cli import common
+from countr_tpu.config import TrainConfig
+from countr_tpu.utils.metrics import JsonlLogger, TBWriter
+
+
+def get_args():
+    p = argparse.ArgumentParser("FSC147 fine-tuning")
+    common.add_data_args(p)
+    common.add_model_args(p, default_model="mae_vit_base6_patch16")
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--epochs", default=1000, type=int)
+    p.add_argument("--warmup_epochs", default=10, type=int)
+    p.add_argument("--blr", default=2e-4, type=float,
+                   help="base lr; lr = blr * batch / 256")
+    p.add_argument("--lr", default=None, type=float)
+    p.add_argument("--min_lr", default=0.0, type=float)
+    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--accum_iter", default=1, type=int)
+    p.add_argument("--no_aug", action="store_true",
+                   help="disable train-time augmentation")
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--ckpt_every", default=50, type=int)
+    p.add_argument("--do_resume", action="store_true",
+                   help="resume full training state from output_dir")
+    p.add_argument("--init_from_mae", default="", type=str,
+                   help="MAE pretrain checkpoint (.pth or orbax) to "
+                        "initialize the encoder from")
+    p.add_argument("--limit_steps", default=0, type=int,
+                   help="cap steps/epoch (smoke tests)")
+    p.add_argument("--n_devices", default=0, type=int,
+                   help="use only the first N devices (0 = all)")
+    return p.parse_args()
+
+
+def sample_shot_num(rng: random.Random, m_flags: np.ndarray) -> int:
+    """0-3 shots, but Type-2 mosaic in the batch bans 0-shot
+    (reference: FSC_finetune_cross.py:277-284)."""
+    lo = 1 if int(m_flags.sum()) > 0 else 0
+    return rng.randint(lo, 3)
+
+
+def main(args):
+    from countr_tpu.data.fsc147 import TrainDataset, ValDataset
+    from countr_tpu.data.loader import DataLoader, device_prefetch
+    from countr_tpu.engine import checkpoint as ckpt
+    from countr_tpu.engine.train import (
+        init_train_state, make_eval_step, make_finetune_step, make_optimizer,
+        transfer_encoder,
+    )
+    from countr_tpu.parallel.mesh import (
+        batch_sharding, get_mesh, replicated_sharding,
+    )
+
+    meta = common.load_meta(args)
+    model, params = common.build_counting_model(args)
+    outdir = common.ensure_outdir(args)
+    tb = TBWriter(os.path.join(outdir, "tb") if outdir else None)
+    jsonl = JsonlLogger(outdir)
+
+    if args.init_from_mae:
+        if args.init_from_mae.endswith(".pth"):
+            sd = ckpt.load_torch_checkpoint(args.init_from_mae)
+            mae_params = ckpt.convert_mae_state_dict(sd, depth=model.cfg.depth)
+        else:
+            raise SystemExit("--init_from_mae currently expects a .pth file")
+        params = transfer_encoder(mae_params, params, depth=model.cfg.depth)
+        print(f"initialized encoder from {args.init_from_mae}")
+
+    train_ds = TrainDataset(meta, do_aug=not args.no_aug, seed=args.seed)
+    val_ds = ValDataset(meta)
+    train_dl = DataLoader(
+        train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
+        drop_last=True, seed=args.seed,
+    )
+    val_dl = DataLoader(val_ds, args.batch_size, num_workers=args.num_workers)
+
+    steps_per_epoch = len(train_dl)
+    if args.limit_steps:
+        steps_per_epoch = min(steps_per_epoch, args.limit_steps)
+
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs, blr=args.blr, lr=args.lr,
+        min_lr=args.min_lr, weight_decay=args.weight_decay,
+        accum_iter=args.accum_iter, seed=args.seed, output_dir=args.output_dir,
+    )
+    tx, sched = make_optimizer(
+        tcfg, steps_per_epoch, args.batch_size,
+        freeze_encoder=model.cfg.freeze_encoder,
+    )
+    state = init_train_state(params["params"], tx)
+
+    mesh = get_mesh(args.n_devices or None)
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev != 0:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by the "
+            f"{n_dev}-device mesh"
+        )
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+    state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
+
+    start_epoch = 0
+    if args.do_resume and outdir:
+        last_dir = os.path.join(outdir, "ckpt_last")
+        step = ckpt.latest_step(last_dir)
+        if step is not None:
+            state, step = ckpt.restore_checkpoint(last_dir, state)
+            start_epoch = step + 1
+            print(f"resumed epoch {start_epoch} from {last_dir}")
+
+    train_step = make_finetune_step(model, tcfg)
+    eval_step = make_eval_step(model)
+    py_rng = random.Random(args.seed)
+    min_mae = float("inf")
+
+    def put(batch):
+        dev = {
+            k: jax.device_put(batch[k], bsh)
+            for k in ("image", "gt_density", "boxes")
+        }
+        dev["m_flag"] = batch["m_flag"]
+        return dev
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        tr_loss = tr_mae = tr_mse = 0.0
+        n_steps = 0
+        for batch in device_prefetch(train_dl.epoch(epoch), put=put):
+            if args.limit_steps and n_steps >= args.limit_steps:
+                break
+            shot_num = sample_shot_num(py_rng, batch["m_flag"])
+            rng = jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + n_steps)
+            state, m = train_step(state, batch, rng, shot_num)
+            tr_loss += float(m["loss"])
+            tr_mae += float(m["mae"])
+            tr_mse += float(m["mse"])
+            n_steps += 1
+            if not np.isfinite(tr_loss):
+                raise SystemExit(f"Loss is not finite at epoch {epoch}")
+
+        # validation (reference: FSC_finetune_cross.py:328-350); ragged
+        # last batch is padded up to the device multiple and the padding
+        # sliced back off.
+        v_err, v_sq, v_nae, v_n = 0.0, 0.0, 0.0, 0
+        for batch in val_dl.epoch(0):
+            true_n = batch["image"].shape[0]
+            vb = {}
+            for k in ("image", "gt_density", "boxes"):
+                arr = batch[k]
+                pad = (-true_n) % n_dev
+                if pad:
+                    arr = np.concatenate([arr, arr[-1:].repeat(pad, axis=0)], 0)
+                vb[k] = jax.device_put(arr, bsh)
+            shot_num = py_rng.randint(0, 3)
+            em = eval_step(state.params, vb, shot_num)
+            v_err += float(jnp.sum(em["err"][:true_n]))
+            v_sq += float(jnp.sum(em["sq_err"][:true_n]))
+            v_nae += float(jnp.sum(em["nae"][:true_n]))
+            v_n += true_n
+
+        n = max(n_steps, 1)
+        vn = max(v_n, 1)
+        val_mae = v_err / vn
+        stats = {
+            "epoch": epoch,
+            "train/loss": tr_loss / n,
+            "train/MAE": tr_mae / n,
+            "train/RMSE": (tr_mse / n) ** 0.5,
+            "val/MAE": val_mae,
+            "val/RMSE": (v_sq / vn) ** 0.5,
+            "val/NAE": v_nae / vn,
+            "lr": float(sched(epoch * steps_per_epoch)),
+            "epoch_time_s": time.time() - t0,
+        }
+        print(
+            f"[Epoch {epoch}] loss {stats['train/loss']:.4f} "
+            f"train MAE {stats['train/MAE']:.2f} val MAE {val_mae:.2f} "
+            f"val RMSE {stats['val/RMSE']:.2f} ({stats['epoch_time_s']:.1f}s)",
+            flush=True,
+        )
+        jsonl.write(stats)
+        for k, v in stats.items():
+            if k != "epoch":
+                tb.scalar(k, v, epoch)
+
+        if outdir:
+            # periodic / last / min-MAE checkpoints (reference:
+            # FSC_finetune_cross.py:407-420)
+            host_state = jax.device_get(state)
+            if args.ckpt_every and epoch % args.ckpt_every == 0 and epoch != 0:
+                ckpt.save_checkpoint(
+                    os.path.join(outdir, "ckpt_periodic"), epoch, host_state,
+                    keep=5,
+                )
+            ckpt.save_checkpoint(
+                os.path.join(outdir, "ckpt_last"), epoch, host_state, keep=1
+            )
+            if val_mae < min_mae:
+                min_mae = val_mae
+                ckpt.save_checkpoint(
+                    os.path.join(outdir, "ckpt_minMAE"), epoch, host_state,
+                    keep=1,
+                )
+    tb.flush()
+
+
+if __name__ == "__main__":
+    main(get_args())

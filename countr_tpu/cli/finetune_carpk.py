@@ -1,0 +1,141 @@
+"""CARPK fine-tuning (1-shot car counting).
+
+Mirrors the reference CARPK fine-tune entry point (reference:
+FSC_finetune_CARPK.py): hub-streamed (or local) CARPK, one random
+exemplar per sample, unmasked MSE, shot_num=1; the as-committed stale
+import and timm pin (SURVEY.md C10) are not reproduced.
+
+Usage:
+  python -m countr_tpu.cli.finetune_carpk --carpk_root /data/CARPK \
+      --resume fsc147_weights.pth --epochs 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from countr_tpu.cli import common
+from countr_tpu.config import TrainConfig
+from countr_tpu.utils.metrics import JsonlLogger
+
+
+def get_args():
+    p = argparse.ArgumentParser("CARPK fine-tuning")
+    common.add_model_args(p, default_model="mae_vit_base6_patch16")
+    p.add_argument("--carpk_root", default="", type=str,
+                   help="local CARPK dir; empty = hub stream")
+    p.add_argument("--output_dir", default="./out_carpk", type=str)
+    p.add_argument("--batch_size", default=1, type=int)
+    p.add_argument("--epochs", default=30, type=int)
+    p.add_argument("--warmup_epochs", default=2, type=int)
+    p.add_argument("--blr", default=2e-4, type=float)
+    p.add_argument("--lr", default=None, type=float)
+    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--limit_steps", default=0, type=int)
+    p.add_argument("--n_devices", default=1, type=int)
+    return p.parse_args()
+
+
+class _TrainAdapter:
+    """CARPK source + reference train transform as a loader dataset."""
+
+    def __init__(self, source, seed: int):
+        self.source = source
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def __getitem__(self, idx: int):
+        from countr_tpu.data.carpk import carpk_train_sample
+
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, idx])
+        )
+        return carpk_train_sample(rng, self.source[idx])
+
+
+def main(args):
+    from countr_tpu.data.carpk import load_carpk
+    from countr_tpu.data.loader import DataLoader, device_prefetch
+    from countr_tpu.engine import checkpoint as ckpt
+    from countr_tpu.engine.train import (
+        init_train_state, make_finetune_step, make_optimizer,
+    )
+    from countr_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+
+    model, params = common.build_counting_model(args)
+    outdir = common.ensure_outdir(args)
+    jsonl = JsonlLogger(outdir)
+
+    ds = _TrainAdapter(load_carpk("train", args.carpk_root), args.seed)
+    dl = DataLoader(
+        ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
+        drop_last=True, seed=args.seed,
+    )
+    steps_per_epoch = min(len(dl), args.limit_steps or len(dl))
+
+    # Unmasked MSE: the reference's pixel mask is commented out for
+    # CARPK (reference: FSC_finetune_CARPK.py:250-252) — loss_mask_p=1.
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs, blr=args.blr, lr=args.lr,
+        weight_decay=args.weight_decay, seed=args.seed, loss_mask_p=1.0,
+    )
+    tx, sched = make_optimizer(
+        tcfg, steps_per_epoch, args.batch_size,
+        freeze_encoder=model.cfg.freeze_encoder,
+    )
+    state = init_train_state(params["params"], tx)
+
+    mesh = get_mesh(args.n_devices or None)
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+    state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
+    step = make_finetune_step(model, tcfg)
+
+    def put(b):
+        return {
+            k: jax.device_put(b[k], bsh)
+            for k in ("image", "gt_density", "boxes")
+        }
+
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        loss_sum, mae_sum, n = 0.0, 0.0, 0
+        for batch in device_prefetch(dl.epoch(epoch), put=put):
+            if args.limit_steps and n >= args.limit_steps:
+                break
+            rng = jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + n)
+            state, m = step(state, batch, rng, 1)  # shot_num=1
+            loss_sum += float(m["loss"])
+            mae_sum += float(m["mae"])
+            n += 1
+        stats = {
+            "epoch": epoch,
+            "train/loss": loss_sum / max(n, 1),
+            "train/MAE": mae_sum / max(n, 1),
+            "epoch_time_s": time.time() - t0,
+        }
+        print(f"[CARPK e{epoch}] loss {stats['train/loss']:.4f} "
+              f"MAE {stats['train/MAE']:.2f}", flush=True)
+        jsonl.write(stats)
+        if outdir:
+            ckpt.save_checkpoint(
+                os.path.join(outdir, "ckpt_last"), epoch,
+                jax.device_get(state), keep=1,
+            )
+
+
+if __name__ == "__main__":
+    main(get_args())

@@ -1,0 +1,214 @@
+"""MAE self-supervised pre-training on FSC147 images.
+
+Mirrors the reference pretrain entry point (reference: FSC_pretrain.py):
+mask ratio 0.5, AdamW(0.9, 0.95) with blr * batch/256 scaling,
+warmup-cosine schedule, periodic checkpoints, reconstruction
+visualization — as one jitted data-parallel step. Optionally
+initializes from a torch MAE checkpoint (the reference resumes from
+released ImageNet MAE weights, reference: FSC_pretrain.py:80-81).
+
+Usage:
+  python -m countr_tpu.cli.pretrain --data_path ./data/FSC147 \
+      --epochs 500 --batch_size 16 --blr 1.5e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from countr_tpu.cli import common
+from countr_tpu.config import MAE_PRESETS, TrainConfig
+from countr_tpu.utils.metrics import JsonlLogger, TBWriter
+
+
+def get_args():
+    p = argparse.ArgumentParser("MAE pre-training")
+    common.add_data_args(p)
+    common.add_model_args(p, default_model="mae_vit_base_patch16")
+    p.add_argument("--mask_ratio", default=0.5, type=float)
+    p.add_argument("--norm_pix_loss", action="store_true")
+    p.add_argument("--masked_loss", action="store_true",
+                   help="average loss over masked patches only (standard "
+                        "MAE) instead of the reference's all-patch mean")
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--epochs", default=500, type=int)
+    p.add_argument("--warmup_epochs", default=10, type=int)
+    p.add_argument("--blr", default=1.5e-4, type=float)
+    p.add_argument("--lr", default=None, type=float)
+    p.add_argument("--min_lr", default=0.0, type=float)
+    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--accum_iter", default=1, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--ckpt_every", default=100, type=int)
+    p.add_argument("--do_resume", action="store_true")
+    p.add_argument("--recon_every", default=2000, type=int,
+                   help="reconstruction image logging cadence in steps "
+                        "(reference: FSC_pretrain.py:267-291)")
+    p.add_argument("--limit_steps", default=0, type=int)
+    p.add_argument("--n_devices", default=0, type=int,
+                   help="use only the first N devices (0 = all)")
+    return p.parse_args()
+
+
+def build_mae_model(args):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from countr_tpu.engine import checkpoint as ckpt
+    from countr_tpu.models.mae import MaskedAutoencoderViT
+
+    cfg = dataclasses.replace(
+        MAE_PRESETS[args.model],
+        mask_ratio=args.mask_ratio,
+        norm_pix_loss=args.norm_pix_loss,
+        dtype=common.parse_dtype(args.dtype),
+    )
+    model = MaskedAutoencoderViT(cfg, masked_loss=args.masked_loss)
+    params = jax.jit(model.init)(
+        jax.random.key(args.seed),
+        jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32),
+        jax.random.key(1),
+    )
+    if args.resume and args.resume.endswith(".pth"):
+        sd = ckpt.load_torch_checkpoint(args.resume)
+        params = jax.tree.map(
+            jnp.asarray,
+            ckpt.convert_mae_state_dict(
+                sd, depth=cfg.depth, decoder_depth=cfg.decoder_depth
+            ),
+        )
+        print(f"initialized from torch MAE checkpoint {args.resume}")
+    return model, params
+
+
+def main(args):
+    from countr_tpu.data.fsc147 import PretrainDataset
+    from countr_tpu.data.loader import DataLoader, device_prefetch
+    from countr_tpu.engine import checkpoint as ckpt
+    from countr_tpu.engine.train import (
+        init_train_state, make_optimizer, make_pretrain_step,
+    )
+    from countr_tpu.models.mae import unpatchify
+    from countr_tpu.parallel.mesh import (
+        batch_sharding, get_mesh, replicated_sharding,
+    )
+
+    meta = common.load_meta(args)
+    model, params = build_mae_model(args)
+    outdir = common.ensure_outdir(args)
+    tb = TBWriter(os.path.join(outdir, "tb") if outdir else None)
+    jsonl = JsonlLogger(outdir)
+
+    ds = PretrainDataset(meta, seed=args.seed)
+    dl = DataLoader(
+        ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
+        drop_last=True, seed=args.seed,
+    )
+    steps_per_epoch = len(dl)
+    if args.limit_steps:
+        steps_per_epoch = min(steps_per_epoch, args.limit_steps)
+
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs,
+        warmup_epochs=args.warmup_epochs, blr=args.blr, lr=args.lr,
+        min_lr=args.min_lr, weight_decay=args.weight_decay,
+        accum_iter=args.accum_iter, seed=args.seed,
+    )
+    tx, sched = make_optimizer(tcfg, steps_per_epoch, args.batch_size)
+    state = init_train_state(params["params"], tx)
+
+    mesh = get_mesh(args.n_devices or None)
+    if args.batch_size % mesh.devices.size != 0:
+        raise SystemExit(
+            f"--batch_size must be divisible by {mesh.devices.size} devices"
+        )
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+    state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
+
+    start_epoch = 0
+    if args.do_resume and outdir:
+        step = ckpt.latest_step(os.path.join(outdir, "ckpt_last"))
+        if step is not None:
+            state, step = ckpt.restore_checkpoint(os.path.join(outdir, "ckpt_last"), state)
+            start_epoch = step + 1
+            print(f"resumed epoch {start_epoch}")
+
+    step_fn = make_pretrain_step(model)
+    global_step = start_epoch * steps_per_epoch
+
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        loss_sum, n_steps = 0.0, 0
+        for batch in device_prefetch(
+            dl.epoch(epoch),
+            put=lambda b: jax.device_put(b["image"], bsh),
+        ):
+            if args.limit_steps and n_steps >= args.limit_steps:
+                break
+            rng = jax.random.fold_in(jax.random.key(args.seed), global_step)
+            state, m = step_fn(state, batch, rng)
+            loss_sum += float(m["loss"])
+            n_steps += 1
+            global_step += 1
+            if not np.isfinite(loss_sum):
+                raise SystemExit(f"Loss is not finite at epoch {epoch}")
+            if args.recon_every and global_step % args.recon_every == 0:
+                _log_reconstruction(tb, model, state, batch, rng, global_step)
+
+        stats = {
+            "epoch": epoch,
+            "train/loss": loss_sum / max(n_steps, 1),
+            "lr": float(sched(epoch * steps_per_epoch)),
+            "epoch_time_s": time.time() - t0,
+        }
+        print(
+            f"[Epoch {epoch}] loss {stats['train/loss']:.4f} "
+            f"lr {stats['lr']:.2e} ({stats['epoch_time_s']:.1f}s)",
+            flush=True,
+        )
+        jsonl.write(stats)
+        tb.scalar("train/loss", stats["train/loss"], epoch)
+
+        if outdir and (
+            (args.ckpt_every and (epoch + 1) % args.ckpt_every == 0)
+            or epoch + 1 == args.epochs
+        ):
+            ckpt.save_checkpoint(
+                os.path.join(outdir, "ckpt_periodic"), epoch,
+                jax.device_get(state), keep=5,
+            )
+        if outdir:
+            ckpt.save_checkpoint(
+                os.path.join(outdir, "ckpt_last"), epoch,
+                jax.device_get(state), keep=1,
+            )
+    tb.flush()
+
+
+def _log_reconstruction(tb, model, state, images, rng, step):
+    """Masked-input / reconstruction / original triptych to TB
+    (reference: FSC_pretrain.py:267-291)."""
+    import jax.numpy as jnp
+
+    from countr_tpu.models.mae import patchify, unpatchify
+
+    imgs = images[:1]
+    loss, pred, mask = model.apply({"params": state.params}, imgs, rng)
+    p = model.cfg.patch_size
+    recon = unpatchify(pred.astype(jnp.float32), p)
+    masked = patchify(imgs, p) * (1 - mask)[..., None]
+    masked = unpatchify(masked, p)
+    panel = np.concatenate(
+        [np.asarray(masked[0]), np.asarray(recon[0]), np.asarray(imgs[0])], axis=1
+    )
+    tb.image("pretrain/reconstruction", np.clip(panel, 0, 1), step)
+
+
+if __name__ == "__main__":
+    main(get_args())

@@ -1,0 +1,153 @@
+"""FSC147 counting evaluation (few-shot and zero-shot).
+
+Covers the reference's two test entry points in one CLI:
+- few-shot: all annotated exemplars (reference:
+  FSC_test_cross(few-shot).py)
+- zero-shot: --box_bound 0, the maintained zero-shot route
+  (reference: run_minimal.MD:92-95; the separate zero-shot script is a
+  stale variant of the same loop)
+plus --external / --box_bound exemplar modes.
+
+Usage:
+  python -m countr_tpu.cli.test --data_path ./data/FSC147 \
+      --model mae_vit_base6_patch16 --resume weights.pth --split test
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from countr_tpu.cli import common
+from countr_tpu.utils.metrics import CountingMetrics, JsonlLogger
+from countr_tpu.utils import viz
+
+
+def get_args():
+    p = argparse.ArgumentParser("FSC147 counting evaluation")
+    common.add_data_args(p)
+    common.add_model_args(p, default_model="mae_vit_base6_patch16")
+    p.add_argument("--split", default="test", type=str)
+    p.add_argument("--external", action="store_true",
+                   help="use exemplars pooled from other images")
+    p.add_argument("--box_bound", default=-1, type=int,
+                   help="max exemplars (0 = zero-shot)")
+    p.add_argument("--max_s_cnt", default=1, type=int,
+                   help="tiny-exemplar count that triggers 3x3 grid mode")
+    p.add_argument("--no_normalization", action="store_true",
+                   help="disable test-time normalization")
+    p.add_argument("--batch_images", default=16, type=int,
+                   help="images pooled per device flush")
+    p.add_argument("--batch_windows", default=32, type=int)
+    p.add_argument("--narrow_policy", default="pad",
+                   choices=["pad", "reference"])
+    p.add_argument("--save_viz", action="store_true",
+                   help="write per-image overlay panels")
+    p.add_argument("--limit", default=0, type=int,
+                   help="evaluate only the first N images (0 = all)")
+    return p.parse_args()
+
+
+def main(args):
+    from countr_tpu.data.fsc147 import TestDataset
+    from countr_tpu.engine.inference import CountingEngine
+
+    meta = common.load_meta(args)
+    model, params = common.build_counting_model(args)
+    outdir = common.ensure_outdir(args)
+
+    ds = TestDataset(
+        meta, split=args.split, external=args.external, box_bound=args.box_bound
+    )
+    engine = CountingEngine(
+        model, params,
+        batch_windows=args.batch_windows,
+        normalization=not args.no_normalization,
+        max_s_cnt=args.max_s_cnt,
+        narrow_policy=args.narrow_policy,
+    )
+
+    n = len(ds) if args.limit <= 0 else min(args.limit, len(ds))
+    metrics = CountingMetrics()
+    names, preds, gts = [], [], []
+    tot_load, tot_infer = 0.0, 0.0
+    empties = []
+
+    # Pool images into groups with a common shot count (shot_num is a
+    # static trace arg), flush each group through count_batch.
+    groups = {}
+    order = []
+    samples = []
+    for i in range(n):
+        s = ds[i]
+        tot_load += s["load_time"]
+        shot = int(s["boxes"].shape[0])
+        groups.setdefault(shot, []).append(len(samples))
+        order.append(i)
+        samples.append(s)
+
+    t_infer0 = time.perf_counter()
+    results = [None] * len(samples)
+    for shot, idxs in groups.items():
+        for j in range(0, len(idxs), args.batch_images):
+            chunk = idxs[j : j + args.batch_images]
+            res = engine.count_batch(
+                [samples[k]["image"] for k in chunk],
+                [samples[k]["boxes"] if shot > 0 else None for k in chunk],
+                [samples[k]["rects"] for k in chunk],
+                shot_num=shot,
+            )
+            for k, r in zip(chunk, res):
+                results[k] = r
+    tot_infer = time.perf_counter() - t_infer0
+
+    for k, s in enumerate(samples):
+        r = results[k]
+        gt_cnt = float(len(s["dots"]))
+        metrics.update(r.count, gt_cnt)
+        names.append(s["name"])
+        preds.append(r.count)
+        gts.append(gt_cnt)
+        if gt_cnt == 0:
+            empties.append(s["name"])
+        print(
+            f"{k}/{len(samples)}: pred_cnt: {r.count:5.3f},  gt_cnt: {gt_cnt:5.3f},  "
+            f"error: {abs(r.count - gt_cnt):5.3f}, id: {s['name']}, "
+            f"s_cnt: {r.grid_mode}",
+            flush=True,
+        )
+        if args.save_viz and outdir:
+            img_f = s["image"]
+            if img_f.dtype == np.uint8:
+                img_f = img_f.astype(np.float32) / 255.0
+            viz.save_prediction_panel(
+                f"{outdir}/full_{s['name'].rsplit('.', 1)[0]}__{round(r.count)}.png",
+                img_f, r.density, s["gt_map"], s["rects"], r.count,
+                gt_cnt, external=args.external,
+            )
+            if s["boxes"].shape[0] > 0:
+                viz.save_exemplar_strip(
+                    f"{outdir}/boxes_{s['name'].rsplit('.', 1)[0]}.png", s["boxes"]
+                )
+
+    log_stats = {
+        **metrics.summary(),
+        "Mean load time": tot_load / max(len(samples), 1),
+        "Mean infer time": tot_infer / max(len(samples), 1),
+        "Mean overall time": (tot_load + tot_infer) / max(len(samples), 1),
+    }
+    print("\nAverage stats:")
+    print(", ".join(f"{k}: {v:5.3f}" for k, v in log_stats.items()))
+    print("empty images:", len(empties), empties if empties else "")
+
+    if outdir:
+        JsonlLogger(outdir).write(log_stats)
+        viz.save_results(outdir, names, preds, gts)
+    return log_stats
+
+
+if __name__ == "__main__":
+    main(get_args())

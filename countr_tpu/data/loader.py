@@ -1,0 +1,140 @@
+"""Host data loading: multi-worker prefetch feeding the device.
+
+Replaces the reference's torch DataLoader(num_workers=10) + implicit
+H2D copies (reference: FSC_finetune_cross.py:178-210, :273-275) with a
+thread-pool loader (PIL/cv2/scipy release the GIL for the heavy work)
+plus an explicit double-buffered device-put stage so the TPU never
+waits on the host: batch N+1 is decoded/augmented and transferred
+while batch N computes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+_STACK_KEYS = ("image", "gt_density", "boxes")
+
+
+def default_collate(samples: Sequence[Dict]) -> Dict:
+    """Stack array fields; list-ify ragged fields (rects, names)."""
+    out: Dict = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if k in _STACK_KEYS:
+            out[k] = np.stack(vals)
+        elif k == "m_flag":
+            out[k] = np.asarray(vals, np.int32)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Deterministic shuffling + parallel sample fetch.
+
+    Per-epoch order is a seeded permutation; each sample's augmentation
+    RNG is derived from (dataset.seed, epoch, index) inside the
+    dataset, so results are reproducible for any worker count.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        drop_last: bool = False,
+        seed: int = 0,
+        collate: Callable = default_collate,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.collate = collate
+        self.prefetch_batches = prefetch_batches
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict]:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch])
+            ).permutation(n)
+        batches: List[np.ndarray] = [
+            order[i : i + self.batch_size]
+            for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            pending: "queue.Queue" = queue.Queue()
+            it = iter(batches)
+
+            def submit_next() -> bool:
+                try:
+                    idxs = next(it)
+                except StopIteration:
+                    return False
+                futs = [pool.submit(self.dataset.__getitem__, int(i)) for i in idxs]
+                pending.put(futs)
+                return True
+
+            for _ in range(self.prefetch_batches):
+                if not submit_next():
+                    break
+            while not pending.empty():
+                futs = pending.get()
+                submit_next()
+                yield self.collate([f.result() for f in futs])
+
+
+def device_prefetch(it: Iterator[Dict], put: Optional[Callable] = None, depth: int = 2):
+    """Double-buffer an iterator through a device-put stage: a
+    background thread stays `depth` batches ahead so H2D transfer and
+    host augmentation overlap device compute."""
+    import jax
+
+    put = put or (lambda b: jax.tree.map(
+        lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, b
+    ))
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+    err: List[BaseException] = []
+
+    def producer():
+        try:
+            for batch in it:
+                q.put(put(batch))
+        except BaseException as e:  # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item

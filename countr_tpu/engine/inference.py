@@ -6,10 +6,12 @@ call per 384-wide window, x9 in grid mode) with a TPU-native design:
 
 1. exemplar crops are embedded ONCE per image;
 2. every sliding window (and all 9 grid crops' windows) is gathered
-   into fixed-shape batches of ``batch_windows`` and run through a
-   single jitted forward — one compiled program, full MXU occupancy;
+   into fixed-shape batches and run through a single jitted forward;
 3. the reference's sequential overlap-halving blend is applied as a
-   precomputed weight contraction (countr_tpu.engine.stitch).
+   precomputed weight contraction (countr_tpu.engine.stitch);
+4. the batched path (count_batch) keeps images, windows, densities and
+   count readout ON DEVICE (countr_tpu.engine.device_pipeline): one
+   uint8 image upload, two scalars down per image.
 
 Behavioral parity knobs reproduced exactly:
 - tiny-exemplar (<10x10) detection triggering 3x3 grid subdivision
@@ -20,6 +22,9 @@ Behavioral parity knobs reproduced exactly:
   quirk we keep);
 - count readout sum/60 (reference: :319,:351).
 
+count() is the straight-line single-image path (host stitching) and
+doubles as the parity oracle for count_batch in the test suite.
+
 Deviation (opt-out via narrow_policy="reference"): images narrower
 than 384 get zero windows in the reference (predicted count 0); by
 default we pad them to one full window instead.
@@ -28,7 +33,6 @@ default we pad them to one full window instead.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -36,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from countr_tpu.config import DENSITY_SCALE, TTN_THRESHOLD, WINDOW
+from countr_tpu.engine.device_pipeline import DevicePipeline, width_bucket
 from countr_tpu.engine.stitch import grid_crop_boxes, stitch, stitch_weights
 from countr_tpu.models.countr import CounTR
 
@@ -43,11 +48,11 @@ from countr_tpu.models.countr import CounTR
 @dataclasses.dataclass
 class CountResult:
     count: float
-    density: np.ndarray  # [384, W] stitched map (last grid crop's in grid mode)
+    density: Optional[np.ndarray]  # [384, W] stitched (grid: last crop's)
     grid_mode: bool
     e_cnt: float  # exemplar-box density (TTN statistic), 0 if disabled
     raw_count: float  # before TTN division
-    n_windows: int  # total model-forward windows spent
+    n_windows: int  # model-forward windows spent
 
 
 def small_exemplar_count(rects: Sequence[Sequence[int]]) -> int:
@@ -61,14 +66,20 @@ def small_exemplar_count(rects: Sequence[Sequence[int]]) -> int:
     return s_cnt
 
 
+def _as_float(img: np.ndarray) -> np.ndarray:
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return img.astype(np.float32)
+
+
 class CountingEngine:
     """Counts objects in H=384, variable-width images.
 
     Parameters
     ----------
     model, params: the CounTR flax model and its param pytree.
-    batch_windows: device batch size for window forwards. All forwards
-        run at exactly this shape -> one XLA program.
+    batch_windows: device batch for window forwards (one XLA program).
+    images_bucket: max image rows per device set (shape bucket).
     normalization: apply test-time normalization (reference default).
     max_s_cnt: grid-mode trigger threshold (reference --max_s_cnt=1).
     """
@@ -79,6 +90,7 @@ class CountingEngine:
         params,
         *,
         batch_windows: int = 32,
+        images_bucket: int = 16,
         normalization: bool = True,
         max_s_cnt: int = 1,
         narrow_policy: str = "pad",
@@ -86,6 +98,7 @@ class CountingEngine:
         self.model = model
         self.params = params
         self.batch_windows = batch_windows
+        self.images_bucket = images_bucket
         self.normalization = normalization
         self.max_s_cnt = max_s_cnt
         assert narrow_policy in ("pad", "reference")
@@ -102,24 +115,15 @@ class CountingEngine:
             )
 
         self._exemplars = jax.jit(_exemplars, static_argnums=(2,))
-
-        def _grid_resize(crops, out_w):
-            # [9, h/3, w/3, 3] -> [9, 384, out_w, 3], bilinear matching
-            # the reference's tensor Resize (align_corners=False).
-            return jax.image.resize(
-                crops, (crops.shape[0], WINDOW, out_w, 3), method="bilinear",
-                antialias=False,
-            )
-
-        self._grid_resize = jax.jit(_grid_resize, static_argnums=(1,))
+        self._pipeline = DevicePipeline(model, params)
 
     # ------------------------------------------------------------------
-    # Core batched forward
+    # Single-image path (host stitch; parity oracle)
     # ------------------------------------------------------------------
 
     def _forward_windows(self, windows: np.ndarray, y: jnp.ndarray) -> np.ndarray:
-        """Run [n, 384, 384, 3] windows through the model in fixed-size
-        chunks of batch_windows; returns [n, 384, 384] densities."""
+        """[n, 384, 384, 3] windows -> [n, 384, 384] densities, in
+        fixed-size chunks of batch_windows."""
         n = windows.shape[0]
         b = self.batch_windows
         ny, c = y.shape[1], y.shape[2]
@@ -136,15 +140,14 @@ class CountingEngine:
             outs.append(np.asarray(den[: b - pad if pad else b]))
         return np.concatenate(outs, 0) if outs else np.zeros((0, WINDOW, WINDOW), np.float32)
 
-    def _sliding_density(
-        self, image: np.ndarray, y: jnp.ndarray
-    ) -> tuple[np.ndarray, int]:
+    def _sliding_density(self, image: np.ndarray, y: jnp.ndarray):
         """Stitched density map [384, w] for one 384-row image."""
+        image = _as_float(image)
         h, w = image.shape[:2]
         if w < WINDOW:
             if self.narrow_policy == "reference":
                 return np.zeros((h, w), np.float32), 0
-            padded = np.zeros((h, WINDOW, 3), image.dtype)
+            padded = np.zeros((h, WINDOW, 3), np.float32)
             padded[:, :w] = image
             den = self._forward_windows(padded[None], y)[0]
             return den[:, :w].astype(np.float32), 1
@@ -153,17 +156,13 @@ class CountingEngine:
         dens = self._forward_windows(windows, y)
         return stitch(dens, starts, weights, w), len(starts)
 
-    # ------------------------------------------------------------------
-    # Public API
-    # ------------------------------------------------------------------
-
     def exemplar_tokens(
         self, boxes: Optional[np.ndarray], shot_num: int
     ) -> jnp.ndarray:
         """[k, 64, 64, 3] exemplar crops -> [1, max(shot,1), C] tokens."""
         if shot_num > 0:
             assert boxes is not None and boxes.shape[0] >= shot_num
-            b = jnp.asarray(boxes[None, :shot_num], jnp.float32)
+            b = jnp.asarray(_as_float(boxes)[None, :shot_num])
         else:
             b = jnp.zeros((1, 1, 64, 64, 3), jnp.float32)
         return self._exemplars(self.params, b, shot_num)
@@ -175,29 +174,23 @@ class CountingEngine:
         rects: Sequence[Sequence[int]] = (),
         shot_num: Optional[int] = None,
     ) -> CountResult:
-        """Count objects in ``image`` [384, W, 3] float32 in [0,1].
-
-        boxes: [k, 64, 64, 3] exemplar crops (or None for zero-shot);
-        rects: exemplar rectangles (y1, x1, y2, x2) in image coords,
-        used for grid-mode detection and TTN."""
+        """Count objects in ``image`` [384, W, 3] (float in [0,1] or
+        uint8). boxes: [k, 64, 64, 3] exemplar crops (None = zero-shot);
+        rects: exemplar rectangles (y1, x1, y2, x2) in image coords."""
         if shot_num is None:
             shot_num = 0 if boxes is None else int(boxes.shape[0])
         y = self.exemplar_tokens(boxes, shot_num)
+        image = _as_float(image)
         h, w = image.shape[:2]
 
         grid_mode = small_exemplar_count(rects) >= self.max_s_cnt
         n_windows = 0
         if grid_mode:
-            # 9 non-overlapping crops, each resized back to (h, w) and
-            # sliding-window counted; total = sum of the 9 counts
-            # (reference: FSC_test_cross(few-shot).py:274-320). All
-            # 9 crops' windows ride a single batched forward.
-            crops = grid_crop_boxes(h, w)
-            ch, cw = crops[0][2], crops[0][3]
-            stackc = np.stack(
-                [image[t : t + ch, l : l + cw] for (t, l, ch, cw) in crops]
-            )
-            resized = np.asarray(self._grid_resize(jnp.asarray(stackc), w))
+            # 9 crops resized back to (h, w), each sliding-window
+            # counted; total = sum of the 9 counts (reference:
+            # FSC_test_cross(few-shot).py:274-320). All crops' windows
+            # ride one batched forward.
+            resized = self._grid_rows(image)
             pred_cnt = 0.0
             density = None
             if w >= WINDOW:
@@ -223,7 +216,7 @@ class CountingEngine:
         raw_cnt = pred_cnt
         e_cnt = 0.0
         if self.normalization:
-            # TTN over ALL rects (not capped at 3), mean divisor of 3
+            # TTN over ALL rects (not capped at 3), mean divisor 3
             # (reference: FSC_test_cross(few-shot).py:353-359).
             for rect in rects:
                 e_cnt += float(
@@ -234,11 +227,185 @@ class CountingEngine:
             if e_cnt > TTN_THRESHOLD:
                 pred_cnt = pred_cnt / e_cnt
 
-        return CountResult(
-            count=pred_cnt,
-            density=density,
-            grid_mode=grid_mode,
-            e_cnt=e_cnt,
-            raw_count=raw_cnt,
-            n_windows=n_windows,
+        return CountResult(pred_cnt, density, grid_mode, e_cnt, raw_cnt, n_windows)
+
+    def _grid_rows(self, image: np.ndarray) -> List[np.ndarray]:
+        """9 grid crops resized back to full size with cv2 INTER_LINEAR
+        (== torch tensor Resize, align_corners=False)."""
+        import cv2
+
+        h, w = image.shape[:2]
+        out = []
+        for (t, l, ch, cw) in grid_crop_boxes(h, w):
+            crop = image[t : t + ch, l : l + cw]
+            out.append(
+                cv2.resize(crop, (w, h), interpolation=cv2.INTER_LINEAR).astype(
+                    np.float32
+                )
+            )
+        return out
+
+    # ------------------------------------------------------------------
+    # Batched device pipeline (throughput path)
+    # ------------------------------------------------------------------
+
+    def count_batch(
+        self,
+        images: Sequence[np.ndarray],
+        boxes_list: Sequence[Optional[np.ndarray]],
+        rects_list: Sequence[Sequence[Sequence[int]]],
+        shot_num: int,
+        return_density: bool = True,
+    ) -> List[CountResult]:
+        """Count a batch of images entirely on device. All images share
+        one static shot_num (bucket by shot count in the caller)."""
+        results: List[Optional[CountResult]] = [None] * len(images)
+        # Greedy-pack images into sets bounded by the row bucket (a
+        # grid-mode image consumes 9 rows).
+        set_idx: List[int] = []
+        rows_used = 0
+        for i, img in enumerate(images):
+            need = 9 if small_exemplar_count(rects_list[i]) >= self.max_s_cnt else 1
+            if set_idx and rows_used + need > self.images_bucket:
+                self._run_set(
+                    set_idx, images, boxes_list, rects_list, shot_num,
+                    return_density, results,
+                )
+                set_idx, rows_used = [], 0
+            set_idx.append(i)
+            rows_used += need
+        if set_idx:
+            self._run_set(
+                set_idx, images, boxes_list, rects_list, shot_num,
+                return_density, results,
+            )
+        return results  # type: ignore[return-value]
+
+    def _run_set(
+        self, idxs, images, boxes_list, rects_list, shot_num, return_density,
+        results,
+    ) -> None:
+        # Exemplar tokens for the set in one batched CNN call (padded to
+        # the row bucket for a single compiled shape).
+        n_img = len(idxs)
+        r_bucket = self.images_bucket
+        if shot_num > 0:
+            bstack = np.stack(
+                [_as_float(boxes_list[i])[:shot_num] for i in idxs]
+            )
+            bstack = np.concatenate(
+                [bstack, np.zeros((r_bucket - n_img, *bstack.shape[1:]), np.float32)], 0
+            )
+            y_img = self._exemplars(self.params, jnp.asarray(bstack), shot_num)
+        else:
+            y_img = self._exemplars(
+                self.params, jnp.zeros((r_bucket, 1, 64, 64, 3), jnp.float32), 0
+            )
+
+        # Build rows + window plan.
+        use_u8 = all(images[i].dtype == np.uint8 for i in idxs)
+        grid_flags = {
+            i: small_exemplar_count(rects_list[i]) >= self.max_s_cnt for i in idxs
+        }
+        if any(grid_flags.values()):
+            use_u8 = False  # grid crops are resized in float for parity
+        max_w = max(images[i].shape[1] for i in idxs)
+        wb = width_bucket(max(max_w, WINDOW))
+
+        rows: List[np.ndarray] = []
+        row_owner_img: List[int] = []  # image index per row
+        plan_owner: List[int] = []
+        plan_start: List[int] = []
+        plan_wcol: List[np.ndarray] = []
+        img_rows: dict = {}
+
+        def add_row(pixels: np.ndarray, img_i: int, true_w: int):
+            row_id = len(rows)
+            pad_w = wb - pixels.shape[1]
+            if pad_w:
+                pixels = np.pad(pixels, ((0, 0), (0, pad_w), (0, 0)))
+            rows.append(pixels)
+            row_owner_img.append(img_i)
+            img_rows.setdefault(img_i, []).append((row_id, true_w))
+            if true_w < WINDOW:
+                if self.narrow_policy == "reference":
+                    return
+                wcol = np.zeros(WINDOW, np.float32)
+                wcol[:true_w] = 1.0
+                plan_owner.append(row_id)
+                plan_start.append(0)
+                plan_wcol.append(wcol)
+                return
+            starts, weights = stitch_weights(true_w)
+            for k, s in enumerate(starts):
+                plan_owner.append(row_id)
+                plan_start.append(s)
+                plan_wcol.append(weights[k, s : s + WINDOW])
+
+        for i in idxs:
+            img = images[i] if use_u8 else _as_float(images[i])
+            if grid_flags[i]:
+                for crop_row in self._grid_rows(_as_float(images[i])):
+                    add_row(crop_row, i, crop_row.shape[1])
+            else:
+                add_row(img, i, img.shape[1])
+
+        n_rows = len(rows)
+        dtype = np.uint8 if use_u8 else np.float32
+        stackr = np.zeros((r_bucket, WINDOW, wb, 3), dtype)
+        for ridx, row in enumerate(rows):
+            stackr[ridx] = row
+
+        # y per row: gather image-level tokens by row owner.
+        img_pos = {im: p for p, im in enumerate(idxs)}
+        row_y_idx = np.asarray(
+            [img_pos[im] for im in row_owner_img]
+            + [0] * (r_bucket - n_rows),
+            np.int32,
         )
+        y_rows = jnp.take(y_img, jnp.asarray(row_y_idx), axis=0)
+
+        # rects per row (the owning image's rects; all of them — the
+        # reference TTN loop is uncapped).
+        k_max = max(1, max(len(rects_list[i]) for i in idxs))
+        rects_arr = np.zeros((r_bucket, k_max, 4), np.int32)
+        rects_valid = np.zeros((r_bucket, k_max), np.float32)
+        for ridx, im in enumerate(row_owner_img):
+            rr = rects_list[im]
+            for k, rect in enumerate(rr):
+                rects_arr[ridx, k] = rect
+                rects_valid[ridx, k] = 1.0
+
+        counts, esum, density = self._pipeline.run(
+            stackr,
+            y_rows,
+            np.asarray(plan_owner, np.int32),
+            np.asarray(plan_start, np.int32),
+            np.stack(plan_wcol) if plan_wcol else np.zeros((0, WINDOW), np.float32),
+            rects_arr,
+            rects_valid,
+            self.batch_windows,
+            want_density=return_density,
+        )
+
+        # Assemble per-image results.
+        win_per_row: dict = {}
+        for o in plan_owner:
+            win_per_row[o] = win_per_row.get(o, 0) + 1
+        for i in idxs:
+            rws = img_rows[i]
+            raw = float(sum(counts[r] for (r, _) in rws))
+            last_row, last_w = rws[-1]
+            n_win = sum(win_per_row.get(r, 0) for (r, _) in rws)
+            e_cnt = 0.0
+            pred = raw
+            if self.normalization:
+                e_cnt = float(esum[last_row]) / 3
+                if e_cnt > TTN_THRESHOLD:
+                    pred = raw / e_cnt
+            den = None
+            if return_density and density is not None:
+                den = density[last_row][:, :last_w]
+            results[i] = CountResult(
+                pred, den, grid_flags[i], e_cnt, raw, n_win
+            )

@@ -1,0 +1,223 @@
+"""Shared training engine (fine-tune + MAE pre-train).
+
+One engine replaces the reference's six copy-pasted per-script training
+loops (SURVEY.md §1, L4). TPU-native data parallelism: the step is
+jitted over a global batch whose leading dim is sharded across the
+1-D device mesh; params/optimizer state are replicated; because the
+loss is a mean over the global batch, XLA emits the gradient
+all-reduce on ICI — there is no DDP wrapper or NCCL equivalent
+(reference machinery replaced: util/misc.py:225-257, :260-287,
+FSC_finetune_cross.py:229-231).
+
+Mixed precision: bf16 activations with fp32 params/optimizer replace
+the reference's fp16 AMP + GradScaler (reference: util/misc.py:260-287)
+— bf16 has fp32's exponent range, so no loss scaling is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from countr_tpu.config import DENSITY_SCALE, TrainConfig
+from countr_tpu.engine.schedule import warmup_cosine
+from countr_tpu.models.countr import CounTR
+from countr_tpu.models.mae import MaskedAutoencoderViT
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def decay_mask(params) -> Any:
+    """Weight decay only for >=2-D params — the timm
+    ``add_weight_decay`` no-decay-for-1D-and-bias grouping the
+    reference applies (reference: FSC_finetune_cross.py:234,
+    FSC_pretrain.py:226-227)."""
+    return jax.tree.map(lambda p: p.ndim > 1, params)
+
+
+# Top-level param groups that make up the frozen ViT encoder of the
+# counting model (reference: torch.no_grad() encoder — those params
+# never receive .grad, so torch AdamW neither steps NOR weight-decays
+# them; we must exclude them from decay too, and we also skip their
+# Adam moments entirely, saving 2x encoder-size optimizer memory).
+FROZEN_ENCODER_PREFIXES = ("patch_embed", "blocks_", "norm")
+
+
+def frozen_labels(params, prefixes=FROZEN_ENCODER_PREFIXES) -> Any:
+    def top_label(key: str) -> str:
+        for pre in prefixes:
+            if key == pre.rstrip("_") or key.startswith(pre):
+                return "frozen"
+        return "train"
+
+    return {
+        k: jax.tree.map(lambda _: top_label(k), v) if isinstance(v, dict) else top_label(k)
+        for k, v in params.items()
+    }
+
+
+def make_optimizer(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    world_batch: int,
+    freeze_encoder: bool = False,
+) -> Tuple[optax.GradientTransformation, Callable]:
+    """AdamW(0.9, 0.95) + warmup-cosine, with optional gradient
+    accumulation via MultiSteps (reference accum_iter:
+    FSC_finetune_cross.py:312-315). With freeze_encoder, encoder
+    params get zero updates and no optimizer state."""
+    sched = warmup_cosine(
+        cfg.resolved_lr(world_batch),
+        epochs=cfg.epochs,
+        warmup_epochs=cfg.warmup_epochs,
+        steps_per_epoch=steps_per_epoch,
+        min_lr=cfg.min_lr,
+    )
+    tx = optax.adamw(
+        learning_rate=sched, b1=0.9, b2=0.95,
+        weight_decay=cfg.weight_decay, mask=decay_mask,
+    )
+    if freeze_encoder:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, frozen_labels
+        )
+    if cfg.accum_iter > 1:
+        tx = optax.MultiSteps(tx, cfg.accum_iter)
+    return tx, sched
+
+
+def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=tx.init(params), tx=tx,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fine-tuning (counting) steps
+# ---------------------------------------------------------------------------
+
+
+def make_finetune_step(
+    model: CounTR, cfg: TrainConfig
+) -> Callable[[TrainState, Dict, jax.Array, int], Tuple[TrainState, Dict]]:
+    """Returns jitted step(state, batch, rng, shot_num) -> (state, metrics).
+
+    batch: {'image' [B,384,384,3], 'gt_density' [B,384,384],
+    'boxes' [B,3,64,64,3]}. shot_num is static (4 variants compile).
+
+    Loss = sum((out-gt)^2 * pixel_mask / HW) / B with a Bernoulli(0.8)
+    pixel mask shared across the batch — the reference's masked MSE
+    (reference: FSC_finetune_cross.py:290-295, same np mask tiled over
+    the batch)."""
+    hw = model.cfg.img_size
+
+    def step_fn(state: TrainState, batch, rng, shot_num: int):
+        imgs = batch["image"]
+        gt = batch["gt_density"].astype(jnp.float32)
+        boxes = batch["boxes"]
+        b = imgs.shape[0]
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, imgs, boxes, shot_num)
+            mask = jax.random.bernoulli(rng, cfg.loss_mask_p, (hw, hw))
+            sq = jnp.square(out - gt) * mask.astype(jnp.float32)
+            loss = jnp.sum(sq / (hw * hw)) / b
+            return loss, out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads)
+
+        pred_cnt = jnp.sum(out, axis=(1, 2)) / DENSITY_SCALE
+        gt_cnt = jnp.sum(gt, axis=(1, 2)) / DENSITY_SCALE
+        err = jnp.abs(pred_cnt - gt_cnt)
+        metrics = {
+            "loss": loss,
+            "mae": jnp.mean(err),
+            "mse": jnp.mean(jnp.square(err)),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, static_argnums=(3,), donate_argnums=(0,))
+
+
+def make_eval_step(model: CounTR):
+    """jitted eval(params, batch, shot_num) -> per-sample count errors
+    (reference val loop: FSC_finetune_cross.py:328-350)."""
+
+    def eval_fn(params, batch, shot_num: int):
+        out = model.apply({"params": params}, batch["image"], batch["boxes"], shot_num)
+        pred_cnt = jnp.sum(out, axis=(1, 2)) / DENSITY_SCALE
+        gt_cnt = jnp.sum(batch["gt_density"].astype(jnp.float32), axis=(1, 2)) / DENSITY_SCALE
+        err = jnp.abs(pred_cnt - gt_cnt)
+        nae = jnp.where(gt_cnt > 0, err / jnp.maximum(gt_cnt, 1e-9), 0.0)
+        return {"err": err, "sq_err": jnp.square(err), "nae": nae}
+
+    return jax.jit(eval_fn, static_argnums=(2,))
+
+
+# ---------------------------------------------------------------------------
+# MAE pre-training step
+# ---------------------------------------------------------------------------
+
+
+def make_pretrain_step(
+    model: MaskedAutoencoderViT,
+) -> Callable[[TrainState, jnp.ndarray, jax.Array], Tuple[TrainState, Dict]]:
+    """jitted step(state, images, rng) -> (state, metrics)
+    (reference hot loop: FSC_pretrain.py:254-299)."""
+
+    def step_fn(state: TrainState, imgs, rng):
+        def loss_fn(params):
+            loss, _pred, _mask = model.apply({"params": params}, imgs, rng)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Encoder transfer: MAE pretrain checkpoint -> counting model
+# ---------------------------------------------------------------------------
+
+ENCODER_KEYS = ("patch_embed", "norm")
+
+
+def transfer_encoder(mae_params: Dict, countr_params: Dict, depth: int = 12) -> Dict:
+    """Copy the pretrained ViT encoder (patch_embed, blocks_*, norm)
+    from MAE params into a counting-model param tree — the reference's
+    non-strict load of the pretrain checkpoint into SupervisedMAE
+    (reference: util/misc.py:363-376 load_model_FSC with strict=False
+    key overlap; only encoder keys match)."""
+    src = mae_params.get("params", mae_params)
+    dst_root = countr_params.get("params", countr_params)
+    dst = dict(dst_root)
+    for k in ENCODER_KEYS + tuple(f"blocks_{i}" for i in range(depth)):
+        if k in src:
+            dst[k] = src[k]
+    if "params" in countr_params:
+        return {**countr_params, "params": dst}
+    return dst

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from countr_tpu.config import CounTRConfig
+from countr_tpu.models.init import conv_bias_init, torch_conv_kernel, xavier_uniform
 from countr_tpu.ops.attention import matmul_precision, multi_head_attention
 from countr_tpu.ops.norms import group_norm, instance_norm
 from countr_tpu.ops.posembed import get_2d_sincos_pos_embed
@@ -45,7 +46,7 @@ class CrossAttention(nn.Module):
         prec = matmul_precision(self.dtype)
         dense = lambda name: nn.Dense(  # noqa: E731
             c, dtype=self.dtype, param_dtype=jnp.float32, precision=prec,
-            name=name,
+            kernel_init=xavier_uniform, name=name,
         )
         q = dense("wq")(x)
         k = dense("wk")(y)
@@ -94,7 +95,9 @@ class ExemplarEncoder(nn.Module):
         for i, w in enumerate(widths):
             x = nn.Conv(
                 w, (3, 3), padding="SAME", dtype=self.dtype,
-                param_dtype=jnp.float32, precision=prec, name=f"conv{i + 1}",
+                param_dtype=jnp.float32, precision=prec,
+                kernel_init=torch_conv_kernel,
+                bias_init=conv_bias_init(9 * x.shape[-1]), name=f"conv{i + 1}",
             )(x)
             x = instance_norm(x)
             x = nn.relu(x)
@@ -121,7 +124,9 @@ class DensityHead(nn.Module):
         def stage(x, idx):
             x = nn.Conv(
                 256, (3, 3), padding="SAME", dtype=self.dtype,
-                param_dtype=jnp.float32, precision=prec, name=f"conv{idx}",
+                param_dtype=jnp.float32, precision=prec,
+                kernel_init=torch_conv_kernel,
+                bias_init=conv_bias_init(9 * x.shape[-1]), name=f"conv{idx}",
             )(x)
             gn_scale = self.param(f"gn{idx}_scale", nn.initializers.ones, (256,), jnp.float32)
             gn_bias = self.param(f"gn{idx}_bias", nn.initializers.zeros, (256,), jnp.float32)
@@ -134,6 +139,7 @@ class DensityHead(nn.Module):
                 x = upsample2x_bilinear(x)
         x = nn.Conv(
             1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=torch_conv_kernel, bias_init=conv_bias_init(256),
             precision=prec, name="pred",
         )(x)
         x = upsample2x_bilinear(x)
@@ -158,6 +164,7 @@ class CounTR(nn.Module):
         self.norm = LayerNorm(cfg.ln_eps, cfg.dtype, name="norm")
         self.decoder_embed = nn.Dense(
             cfg.decoder_embed_dim, dtype=cfg.dtype, param_dtype=jnp.float32,
+            kernel_init=xavier_uniform,
             precision=matmul_precision(cfg.dtype), name="decoder_embed",
         )
         self.shot_token = self.param(

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from countr_tpu.config import MAEConfig
+from countr_tpu.models.init import xavier_uniform
 from countr_tpu.ops.attention import matmul_precision
 from countr_tpu.ops.posembed import get_2d_sincos_pos_embed
 from countr_tpu.models.vit import Block, LayerNorm, PatchEmbed
@@ -84,7 +85,7 @@ class MaskedAutoencoderViT(nn.Module):
         prec = matmul_precision(cfg.dtype)
         self.decoder_embed = nn.Dense(
             cfg.decoder_embed_dim, dtype=cfg.dtype, param_dtype=jnp.float32,
-            precision=prec, name="decoder_embed",
+            kernel_init=xavier_uniform, precision=prec, name="decoder_embed",
         )
         self.mask_token = self.param(
             "mask_token",
@@ -102,7 +103,8 @@ class MaskedAutoencoderViT(nn.Module):
         self.decoder_norm = LayerNorm(cfg.ln_eps, cfg.dtype, name="decoder_norm")
         self.decoder_pred = nn.Dense(
             cfg.patch_size ** 2 * cfg.in_chans, dtype=cfg.dtype,
-            param_dtype=jnp.float32, precision=prec, name="decoder_pred",
+            param_dtype=jnp.float32, kernel_init=xavier_uniform,
+            precision=prec, name="decoder_pred",
         )
         self.pos_embed = jnp.asarray(
             get_2d_sincos_pos_embed(cfg.embed_dim, cfg.grid_size)

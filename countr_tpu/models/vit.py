@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from countr_tpu.models.init import xavier_uniform
 from countr_tpu.ops.attention import matmul_precision, multi_head_attention
 
 
@@ -47,6 +48,7 @@ class PatchEmbed(nn.Module):
             self.embed_dim,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            kernel_init=xavier_uniform,
             precision=matmul_precision(self.dtype),
             name="proj",
         )(x.astype(self.dtype))
@@ -66,12 +68,12 @@ class Mlp(nn.Module):
         prec = matmul_precision(self.dtype)
         x = nn.Dense(
             self.hidden_dim, dtype=self.dtype, param_dtype=jnp.float32,
-            precision=prec, name="fc1",
+            kernel_init=xavier_uniform, precision=prec, name="fc1",
         )(x)
         x = nn.gelu(x.astype(jnp.float32), approximate=False).astype(self.dtype)
         x = nn.Dense(
             self.out_dim, dtype=self.dtype, param_dtype=jnp.float32,
-            precision=prec, name="fc2",
+            kernel_init=xavier_uniform, precision=prec, name="fc2",
         )(x)
         return x
 
@@ -107,7 +109,7 @@ class SelfAttention(nn.Module):
         prec = matmul_precision(self.dtype)
         qkv = nn.Dense(
             3 * c, dtype=self.dtype, param_dtype=jnp.float32,
-            precision=prec, name="qkv",
+            kernel_init=xavier_uniform, precision=prec, name="qkv",
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.use_pallas:
@@ -118,7 +120,7 @@ class SelfAttention(nn.Module):
             y = multi_head_attention(q, k, v, self.num_heads, precision=prec)
         return nn.Dense(
             c, dtype=self.dtype, param_dtype=jnp.float32,
-            precision=prec, name="proj",
+            kernel_init=xavier_uniform, precision=prec, name="proj",
         )(y)
 
 

@@ -1,0 +1,54 @@
+"""Device-mesh data parallelism.
+
+The reference scales with PyTorch DDP over NCCL (reference:
+util/misc.py:225-257 rendezvous, FSC_finetune_cross.py:229-231 DDP
+wrapper, util/misc.py:424-432 metric all-reduce). On TPU none of that
+machinery exists as a separate backend: we lay out a 1-D
+``jax.sharding.Mesh`` over all devices, shard the batch dimension
+across it, and jit the global-batch training step — XLA inserts the
+gradient all-reduce on ICI automatically because the loss is a mean
+over the globally sharded batch. Metric "all-reduce" is likewise just
+reading a replicated output.
+
+The reference's parallelism is data-parallel only (SURVEY.md §2); the
+mesh is therefore 1-D ("data"). Multi-host: jax.distributed handles
+process rendezvous; rank-0-only side effects use is_main_process().
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def get_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the first n (default: all) devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a host batch pytree with the leading dim sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def is_main_process() -> bool:
+    """Rank-0 check (reference: util/misc.py:211-222 is_main_process)."""
+    return jax.process_index() == 0

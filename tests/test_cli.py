@@ -1,0 +1,90 @@
+"""End-to-end CLI smoke tests over the synthetic FSC147 fixture with a
+tiny model preset (full 384-window geometry, skinny dims)."""
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pytest
+
+from countr_tpu.config import COUNTR_PRESETS, CounTRConfig
+from tests.test_data import fsc_dir, meta  # fixtures  # noqa: F401
+
+TINY384 = CounTRConfig(
+    img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+    decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+)
+
+
+@pytest.fixture(autouse=True)
+def _tiny_preset():
+    COUNTR_PRESETS["tiny384"] = TINY384
+    yield
+    COUNTR_PRESETS.pop("tiny384", None)
+
+
+def _test_args(fsc_dir, outdir, **over):
+    base = dict(
+        data_path=fsc_dir, anno_file="annotation_FSC147_384.json",
+        data_split_file="Train_Test_Val_FSC_147.json",
+        im_dir="images_384_VarV2", class_file="ImageClasses_FSC147.txt",
+        output_dir=outdir, model="tiny384", resume="", dtype="fp32", seed=0,
+        split="test", external=False, box_bound=-1, max_s_cnt=1,
+        no_normalization=False, batch_images=4, batch_windows=4,
+        narrow_policy="pad", save_viz=True, limit=0,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_cli_test_few_shot(fsc_dir, tmp_path):  # noqa: F811
+    from countr_tpu.cli import test as cli_test
+
+    out = str(tmp_path / "out")
+    stats = cli_test.main(_test_args(fsc_dir, out))
+    assert set(stats) >= {"MAE", "RMSE", "NAE"}
+    assert os.path.exists(os.path.join(out, "log.txt"))
+    assert os.path.exists(os.path.join(out, "results.csv"))
+    # one test image in the fixture -> one panel png
+    assert any(f.startswith("full_") for f in os.listdir(out))
+    rec = json.loads(open(os.path.join(out, "log.txt")).read().splitlines()[-1])
+    assert "Mean infer time" in rec
+
+
+def test_cli_test_zero_shot(fsc_dir, tmp_path):  # noqa: F811
+    from countr_tpu.cli import test as cli_test
+
+    stats = cli_test.main(
+        _test_args(fsc_dir, str(tmp_path / "out0"), box_bound=0, save_viz=False)
+    )
+    assert np.isfinite(stats["MAE"])
+
+
+def test_cli_demo_zero_shot(fsc_dir, tmp_path):  # noqa: F811
+    from countr_tpu.cli import demo as cli_demo
+
+    img_dir = os.path.join(fsc_dir, "images_384_VarV2")
+    one_img = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    args = argparse.Namespace(
+        model="tiny384", resume="", dtype="fp32", seed=0,
+        input_path=one_img, output_path=str(tmp_path / "demo"),
+        boxes="", batch_windows=4, no_normalization=False,
+    )
+    cli_demo.main(args)
+    assert len(os.listdir(tmp_path / "demo")) == 1
+
+
+def test_cli_demo_few_shot_boxes(fsc_dir, tmp_path):  # noqa: F811
+    from countr_tpu.cli import demo as cli_demo
+
+    img_dir = os.path.join(fsc_dir, "images_384_VarV2")
+    one_img = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    args = argparse.Namespace(
+        model="tiny384", resume="", dtype="fp32", seed=0,
+        input_path=one_img, output_path=str(tmp_path / "demo2"),
+        boxes="10,20,60,80;100,120,150,170", batch_windows=4,
+        no_normalization=False,
+    )
+    cli_demo.main(args)
+    assert len(os.listdir(tmp_path / "demo2")) == 1

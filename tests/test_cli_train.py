@@ -1,0 +1,78 @@
+"""Fine-tune / pretrain CLI smoke tests: one tiny epoch over the
+synthetic fixture on the 8-device CPU mesh (real DP sharding)."""
+
+import argparse
+import json
+import os
+
+import pytest
+
+from countr_tpu.config import COUNTR_PRESETS, MAE_PRESETS, CounTRConfig, MAEConfig
+from tests.test_data import fsc_dir, meta  # fixtures  # noqa: F401
+
+TINY384 = CounTRConfig(
+    img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+    decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+)
+TINY384_MAE = MAEConfig(
+    img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+    decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+)
+
+
+@pytest.fixture(autouse=True)
+def _tiny_presets():
+    COUNTR_PRESETS["tiny384"] = TINY384
+    MAE_PRESETS["tiny384mae"] = TINY384_MAE
+    yield
+    COUNTR_PRESETS.pop("tiny384", None)
+    MAE_PRESETS.pop("tiny384mae", None)
+
+
+def test_cli_finetune_one_epoch(fsc_dir, tmp_path):  # noqa: F811
+    from countr_tpu.cli import finetune
+
+    out = str(tmp_path / "ft")
+    args = argparse.Namespace(
+        data_path=fsc_dir, anno_file="annotation_FSC147_384.json",
+        data_split_file="Train_Test_Val_FSC_147.json",
+        im_dir="images_384_VarV2", class_file="ImageClasses_FSC147.txt",
+        output_dir=out, model="tiny384", resume="", dtype="fp32", seed=0,
+        batch_size=4, epochs=1, warmup_epochs=1, blr=2e-4, lr=None,
+        min_lr=0.0, weight_decay=0.05, accum_iter=1, no_aug=True,
+        num_workers=2, ckpt_every=0, do_resume=False, init_from_mae="",
+        limit_steps=1, n_devices=2,
+    )
+    finetune.main(args)
+    log = open(os.path.join(out, "log.txt")).read().splitlines()
+    rec = json.loads(log[-1])
+    assert rec["epoch"] == 0
+    assert rec["train/loss"] > 0
+    assert os.path.isdir(os.path.join(out, "ckpt_last"))
+    assert os.path.isdir(os.path.join(out, "ckpt_minMAE"))
+
+    # resume path: epoch 0 checkpoint found -> starts at epoch 1 (no
+    # epochs left) without error
+    args.do_resume = True
+    finetune.main(args)
+
+
+def test_cli_pretrain_one_epoch(fsc_dir, tmp_path):  # noqa: F811
+    from countr_tpu.cli import pretrain
+
+    out = str(tmp_path / "pt")
+    args = argparse.Namespace(
+        data_path=fsc_dir, anno_file="annotation_FSC147_384.json",
+        data_split_file="Train_Test_Val_FSC_147.json",
+        im_dir="images_384_VarV2", class_file="ImageClasses_FSC147.txt",
+        output_dir=out, model="tiny384mae", resume="", dtype="fp32", seed=0,
+        mask_ratio=0.5, norm_pix_loss=False, masked_loss=False,
+        batch_size=4, epochs=1, warmup_epochs=1, blr=1.5e-4, lr=None,
+        min_lr=0.0, weight_decay=0.05, accum_iter=1, num_workers=2,
+        ckpt_every=0, do_resume=False, recon_every=0, limit_steps=1,
+        n_devices=2,
+    )
+    pretrain.main(args)
+    rec = json.loads(open(os.path.join(out, "log.txt")).read().splitlines()[-1])
+    assert rec["train/loss"] > 0
+    assert os.path.isdir(os.path.join(out, "ckpt_last"))
