@@ -45,7 +45,9 @@ def main():
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(0)
-    model = build_countr("mae_vit_base6_patch16", dtype=jnp.bfloat16)
+    model = build_countr(
+        "mae_vit_base6_patch16", dtype=jnp.bfloat16, use_pallas_attention=True
+    )
     params = jax.jit(model.init, static_argnums=(3,))(
         jax.random.key(0),
         jnp.zeros((1, 384, 384, 3), jnp.float32),

@@ -63,7 +63,13 @@ def build_counting_model(args) -> Tuple[object, dict]:
     from countr_tpu.models import build_countr
     from countr_tpu.engine import checkpoint as ckpt
 
-    model = build_countr(args.model, dtype=parse_dtype(args.dtype))
+    dtype = parse_dtype(args.dtype)
+    model = build_countr(
+        args.model, dtype=dtype,
+        # fused Pallas encoder attention (bf16 only; ~20% faster than
+        # the XLA attention at batch 32 on v5e)
+        use_pallas_attention=dtype == jnp.bfloat16,
+    )
     cfg = model.cfg
 
     imgs = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)

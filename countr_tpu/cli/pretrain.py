@@ -99,6 +99,9 @@ def main(args):
         batch_sharding, get_mesh, replicated_sharding,
     )
 
+    from countr_tpu.parallel.dist import init_distributed
+
+    init_distributed()
     meta = common.load_meta(args)
     model, params = build_mae_model(args)
     outdir = common.ensure_outdir(args)

@@ -48,6 +48,9 @@ def get_args():
                    help="write per-image overlay panels")
     p.add_argument("--limit", default=0, type=int,
                    help="evaluate only the first N images (0 = all)")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="capture a jax.profiler trace of the inference "
+                        "phase into this directory")
     return p.parse_args()
 
 
@@ -89,19 +92,23 @@ def main(args):
         order.append(i)
         samples.append(s)
 
+    from countr_tpu.utils.profiling import trace
+
     t_infer0 = time.perf_counter()
     results = [None] * len(samples)
-    for shot, idxs in groups.items():
-        for j in range(0, len(idxs), args.batch_images):
-            chunk = idxs[j : j + args.batch_images]
-            res = engine.count_batch(
-                [samples[k]["image"] for k in chunk],
-                [samples[k]["boxes"] if shot > 0 else None for k in chunk],
-                [samples[k]["rects"] for k in chunk],
-                shot_num=shot,
-            )
-            for k, r in zip(chunk, res):
-                results[k] = r
+    with trace(getattr(args, "profile_dir", "") or None):
+        for shot, idxs in groups.items():
+            for j in range(0, len(idxs), args.batch_images):
+                chunk = idxs[j : j + args.batch_images]
+                res = engine.count_batch(
+                    [samples[k]["image"] for k in chunk],
+                    [samples[k]["boxes"] if shot > 0 else None for k in chunk],
+                    [samples[k]["rects"] for k in chunk],
+                    shot_num=shot,
+                    return_density=args.save_viz,
+                )
+                for k, r in zip(chunk, res):
+                    results[k] = r
     tot_infer = time.perf_counter() - t_infer0
 
     for k, s in enumerate(samples):

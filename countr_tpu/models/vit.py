@@ -112,7 +112,9 @@ class SelfAttention(nn.Module):
             kernel_init=xavier_uniform, precision=prec, name="qkv",
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        if self.use_pallas:
+        # The fused kernel computes at the input dtype; fp32-parity
+        # runs stay on the HIGHEST-precision XLA path.
+        if self.use_pallas and jnp.dtype(self.dtype) == jnp.bfloat16:
             from countr_tpu.ops.pallas_attn import fused_attention
 
             y = fused_attention(q, k, v, self.num_heads)
