@@ -48,12 +48,18 @@ def get_args():
     p.add_argument("--do_resume", action="store_true",
                    help="resume full training state from output_dir")
     p.add_argument("--init_from_mae", default="", type=str,
-                   help="MAE pretrain checkpoint (.pth or orbax) to "
-                        "initialize the encoder from")
+                   help="MAE pretrain checkpoint (.pth or an orbax "
+                        "ckpt_params dir) to initialize the encoder from")
+    p.add_argument("--init_from_mae_model", default="mae_vit_base_patch16",
+                   type=str, help="MAE preset of the orbax checkpoint")
     p.add_argument("--limit_steps", default=0, type=int,
                    help="cap steps/epoch (smoke tests)")
     p.add_argument("--n_devices", default=0, type=int,
                    help="use only the first N devices (0 = all)")
+    p.add_argument("--panel_every", default=10, type=int,
+                   help="epochs between val density-panel images in TB "
+                        "(0 = off; reference logs these to W&B, "
+                        "FSC_finetune_cross.py:352-405)")
     return p.parse_args()
 
 
@@ -90,7 +96,30 @@ def main(args):
             sd = ckpt.load_torch_checkpoint(args.init_from_mae)
             mae_params = ckpt.convert_mae_state_dict(sd, depth=model.cfg.depth)
         else:
-            raise SystemExit("--init_from_mae currently expects a .pth file")
+            # orbax params-only checkpoint written by cli.pretrain
+            import dataclasses as _dc
+
+            from countr_tpu.config import MAE_PRESETS
+            from countr_tpu.models.mae import MaskedAutoencoderViT
+
+            mae_cfg = _dc.replace(
+                MAE_PRESETS[args.init_from_mae_model],
+                dtype=common.parse_dtype(args.dtype),
+            )
+            mae_model = MaskedAutoencoderViT(mae_cfg)
+            template = jax.eval_shape(
+                lambda: mae_model.init(
+                    jax.random.key(0),
+                    jnp.zeros((1, mae_cfg.img_size, mae_cfg.img_size, 3)),
+                    jax.random.key(1),
+                )
+            )
+            host_template = jax.tree.map(
+                lambda s: np.zeros(s.shape, s.dtype), template
+            )
+            mae_params, _ = ckpt.restore_checkpoint(
+                args.init_from_mae, host_template
+            )
         params = transfer_encoder(mae_params, params, depth=model.cfg.depth)
         print(f"initialized encoder from {args.init_from_mae}")
 
@@ -211,6 +240,9 @@ def main(args):
         for k, v in stats.items():
             if k != "epoch":
                 tb.scalar(k, v, epoch)
+        panel_every = getattr(args, "panel_every", 0)
+        if panel_every and epoch % panel_every == 0:
+            _log_val_panels(tb, model, state, val_ds, epoch)
 
         if outdir:
             # periodic / last / min-MAE checkpoints (reference:
@@ -231,6 +263,30 @@ def main(args):
                     keep=1,
                 )
     tb.flush()
+
+
+def _log_val_panels(tb, model, state, val_ds, epoch, n_panels: int = 4):
+    """GT-overlay | prediction | pred-overlay triptychs to TB
+    (reference W&B panels: FSC_finetune_cross.py:352-405)."""
+    import jax.numpy as jnp
+
+    n = min(n_panels, len(val_ds))
+    if n == 0:
+        return
+    samples = [val_ds[i] for i in range(n)]
+    imgs = jnp.asarray(np.stack([s["image"] for s in samples]))
+    boxes = jnp.asarray(np.stack([s["boxes"] for s in samples]))
+    out = np.asarray(model.apply({"params": state.params}, imgs, boxes, 3))
+    for i, s in enumerate(samples):
+        img = s["image"]
+        gt = np.stack([s["gt_density"], np.zeros_like(s["gt_density"]),
+                       np.zeros_like(s["gt_density"])], -1)
+        pred = np.stack([out[i], np.zeros_like(out[i]), np.zeros_like(out[i])], -1)
+        panel = np.concatenate(
+            [np.clip(img / 2 + gt, 0, 1), np.clip(pred, 0, 1),
+             np.clip(img / 2 + pred, 0, 1)], axis=1,
+        )
+        tb.image(f"val/density_{s['name']}", panel, epoch)
 
 
 if __name__ == "__main__":

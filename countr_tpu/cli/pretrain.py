@@ -191,6 +191,12 @@ def main(args):
                 os.path.join(outdir, "ckpt_last"), epoch,
                 jax.device_get(state), keep=1,
             )
+            # params-only checkpoint for encoder transfer into the
+            # counting model (finetune --init_from_mae)
+            ckpt.save_checkpoint(
+                os.path.join(outdir, "ckpt_params"), epoch,
+                {"params": jax.device_get(state.params)}, keep=1,
+            )
     tb.flush()
 
 

@@ -103,6 +103,57 @@ def save_exemplar_strip(path: str, boxes: np.ndarray) -> None:
     _to_pil(strip).save(path)
 
 
+def frames_to_video(frame_dir: str, out_path: str, fps: float = 30.0) -> bool:
+    """Stitch a directory of frames into an mp4
+    (reference: util/misc.py:623-633 frames2vid)."""
+    import cv2
+
+    frames = sorted(
+        f for f in os.listdir(frame_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if not frames:
+        return False
+    first = cv2.imread(os.path.join(frame_dir, frames[0]))
+    h, w = first.shape[:2]
+    vw = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for f in frames:
+        img = cv2.imread(os.path.join(frame_dir, f))
+        if img.shape[:2] != (h, w):
+            img = cv2.resize(img, (w, h))
+        vw.write(img)
+    vw.release()
+    return True
+
+
+def write_zeroshot_annotations(
+    path: str, name: str, density: np.ndarray, threshold: float = 0.1
+) -> None:
+    """Write predicted object locations (density local maxima above a
+    threshold) as a per-image annotation file — the zero-shot
+    annotation-writer role (reference: util/misc.py:470-506)."""
+    from scipy import ndimage as ndi
+
+    maxima = (density == ndi.maximum_filter(density, size=5)) & (
+        density > threshold
+    )
+    ys, xs = np.nonzero(maxima)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        import json
+
+        json.dump(
+            {
+                "image": name,
+                "count": float(density.sum() / 60.0),
+                "points_xy": [[int(x), int(y)] for x, y in zip(xs, ys)],
+            },
+            f,
+        )
+
+
 def save_results(
     output_dir: str,
     names: List[str],

@@ -76,3 +76,25 @@ def test_cli_pretrain_one_epoch(fsc_dir, tmp_path):  # noqa: F811
     rec = json.loads(open(os.path.join(out, "log.txt")).read().splitlines()[-1])
     assert rec["train/loss"] > 0
     assert os.path.isdir(os.path.join(out, "ckpt_last"))
+    assert os.path.isdir(os.path.join(out, "ckpt_params"))
+
+    # chain: finetune with the encoder initialized from the orbax MAE
+    # params checkpoint (the reproduce.sh handoff)
+    from countr_tpu.cli import finetune
+
+    ft_out = str(tmp_path / "ft_from_mae")
+    ft_args = argparse.Namespace(
+        data_path=fsc_dir, anno_file="annotation_FSC147_384.json",
+        data_split_file="Train_Test_Val_FSC_147.json",
+        im_dir="images_384_VarV2", class_file="ImageClasses_FSC147.txt",
+        output_dir=ft_out, model="tiny384", resume="", dtype="fp32", seed=0,
+        batch_size=4, epochs=1, warmup_epochs=1, blr=2e-4, lr=None,
+        min_lr=0.0, weight_decay=0.05, accum_iter=1, no_aug=True,
+        num_workers=2, ckpt_every=0, do_resume=False,
+        init_from_mae=os.path.join(out, "ckpt_params"),
+        init_from_mae_model="tiny384mae",
+        limit_steps=1, n_devices=2,
+    )
+    finetune.main(ft_args)
+    rec2 = json.loads(open(os.path.join(ft_out, "log.txt")).read().splitlines()[-1])
+    assert rec2["train/loss"] > 0
