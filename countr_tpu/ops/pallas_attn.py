@@ -75,15 +75,36 @@ def _fused(q, k, v, num_heads: int, interpret: bool):
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_diff(q, k, v, num_heads: int, interpret: bool):
+    return _fused(q, k, v, num_heads, interpret)
+
+
+def _fused_diff_fwd(q, k, v, num_heads, interpret):
+    return _fused(q, k, v, num_heads, interpret), (q, k, v)
+
+
+def _fused_diff_bwd(num_heads, interpret, res, g):
+    # Backward via the XLA attention — mathematically the same op; the
+    # Pallas kernel accelerates the (much more frequent) forward.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: multi_head_attention(q, k, v, num_heads), q, k, v)
+    return vjp(g)
+
+
+_fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
+
+
 def fused_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Self-attention [B, N, C] x3 -> [B, N, C]; Pallas on TPU, XLA
-    elsewhere (unless interpret is forced for testing)."""
+    elsewhere (unless interpret is forced for testing). Differentiable:
+    the backward pass recomputes through the XLA attention."""
     if interpret is None:
         platform = jax.devices()[0].platform
         if platform not in ("tpu", "axon"):
             return multi_head_attention(q, k, v, num_heads)
         interpret = False
-    return _fused(q, k, v, num_heads, interpret)
+    return _fused_diff(q, k, v, num_heads, interpret)
