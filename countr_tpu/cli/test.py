@@ -79,37 +79,49 @@ def main(args):
     tot_load, tot_infer = 0.0, 0.0
     empties = []
 
-    # Pool images into groups with a common shot count (shot_num is a
-    # static trace arg), flush each group through count_batch.
-    groups = {}
-    order = []
-    samples = []
-    for i in range(n):
-        s = ds[i]
-        tot_load += s["load_time"]
-        shot = int(s["boxes"].shape[0])
-        groups.setdefault(shot, []).append(len(samples))
-        order.append(i)
-        samples.append(s)
+    from concurrent.futures import ThreadPoolExecutor
 
     from countr_tpu.utils.profiling import trace
 
-    t_infer0 = time.perf_counter()
-    results = [None] * len(samples)
+    # Stream samples (background threads decode/resize while the device
+    # counts), bucketing by shot count on the fly — shot_num is a
+    # static trace arg so each bucket flushes through count_batch.
+    samples = []
+    results = []
+    buckets = {}
+    tot_infer = 0.0
+
+    def flush(shot):
+        nonlocal tot_infer
+        idxs = buckets.pop(shot, [])
+        if not idxs:
+            return
+        t0 = time.perf_counter()
+        res = engine.count_batch(
+            [samples[k]["image"] for k in idxs],
+            [samples[k]["boxes"] if shot > 0 else None for k in idxs],
+            [samples[k]["rects"] for k in idxs],
+            shot_num=shot,
+            return_density=args.save_viz,
+        )
+        tot_infer += time.perf_counter() - t0
+        for k, r in zip(idxs, res):
+            results[k] = r
+
     with trace(getattr(args, "profile_dir", "") or None):
-        for shot, idxs in groups.items():
-            for j in range(0, len(idxs), args.batch_images):
-                chunk = idxs[j : j + args.batch_images]
-                res = engine.count_batch(
-                    [samples[k]["image"] for k in chunk],
-                    [samples[k]["boxes"] if shot > 0 else None for k in chunk],
-                    [samples[k]["rects"] for k in chunk],
-                    shot_num=shot,
-                    return_density=args.save_viz,
-                )
-                for k, r in zip(chunk, res):
-                    results[k] = r
-    tot_infer = time.perf_counter() - t_infer0
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [pool.submit(ds.__getitem__, i) for i in range(n)]
+            for fut in futures:
+                s = fut.result()
+                tot_load += s["load_time"]
+                samples.append(s)
+                results.append(None)
+                shot = int(s["boxes"].shape[0])
+                buckets.setdefault(shot, []).append(len(samples) - 1)
+                if len(buckets[shot]) >= args.batch_images:
+                    flush(shot)
+            for shot in list(buckets):
+                flush(shot)
 
     for k, s in enumerate(samples):
         r = results[k]

@@ -102,11 +102,22 @@ def finalize(
 
 
 class DevicePipeline:
-    """Jitted stages with shape-bucketed caching."""
+    """Jitted stages with shape-bucketed caching.
 
-    def __init__(self, model, params):
+    With a multi-device ``mesh``, each window chunk is sharded across
+    the data axis (images/params replicated) — the expensive per-window
+    forward partitions across chips and XLA gathers the small density
+    updates; requires batch_windows % n_devices == 0."""
+
+    def __init__(self, model, params, mesh=None):
         self.model = model
         self.params = params
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        if self.mesh is not None:
+            from countr_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            self._bsh = batch_sharding(self.mesh)
+            self._rsh = replicated_sharding(self.mesh)
 
         def fwd(params, windows, y_all, owners):
             from countr_tpu.models.countr import CounTR
@@ -136,7 +147,12 @@ class DevicePipeline:
         """Returns (counts [R], esum [R], density [R,384,Wb] or None) as
         host numpy."""
         r, h, wb, _ = images_np.shape
-        images = jax.device_put(images_np)
+        sharded = self.mesh is not None and batch_windows % self.mesh.devices.size == 0
+        if sharded:
+            images = jax.device_put(images_np, self._rsh)
+            y_all = jax.device_put(y_all, self._rsh)
+        else:
+            images = jax.device_put(images_np)
         density = jnp.zeros((r, h, wb), jnp.float32)
 
         n = owners_np.shape[0]
@@ -152,6 +168,10 @@ class DevicePipeline:
             owners = jnp.asarray(owners_np[i : i + b])
             starts = jnp.asarray(starts_np[i : i + b])
             wcols = jnp.asarray(wcols_np[i : i + b])
+            if sharded:
+                owners = jax.device_put(owners, self._bsh)
+                starts = jax.device_put(starts, self._bsh)
+                wcols = jax.device_put(wcols, self._bsh)
             windows = self._extract(images, owners, starts)
             dens = self._fwd(self.params, windows, y_all, owners)
             density = self._accumulate(density, dens, owners, starts, wcols)

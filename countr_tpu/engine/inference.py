@@ -94,6 +94,7 @@ class CountingEngine:
         normalization: bool = True,
         max_s_cnt: int = 1,
         narrow_policy: str = "pad",
+        mesh=None,
     ):
         self.model = model
         self.params = params
@@ -115,7 +116,7 @@ class CountingEngine:
             )
 
         self._exemplars = jax.jit(_exemplars, static_argnums=(2,))
-        self._pipeline = DevicePipeline(model, params)
+        self._pipeline = DevicePipeline(model, params, mesh=mesh)
 
     # ------------------------------------------------------------------
     # Single-image path (host stitch; parity oracle)

@@ -69,6 +69,24 @@ def test_count_batch_no_density(rng, engine):
     assert r.density is None and np.isfinite(r.count)
 
 
+def test_count_batch_sharded_mesh(rng, engine):
+    """Window batches sharded over the 8-device CPU mesh must match the
+    single-device path."""
+    from countr_tpu.parallel.mesh import get_mesh
+
+    model = engine.model
+    mesh_engine = CountingEngine(
+        model, engine.params, batch_windows=8, mesh=get_mesh()
+    )
+    img = rng.uniform(0, 1, (384, 600, 3)).astype(np.float32)
+    boxes = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+    rects = [(50, 50, 120, 130), (10, 20, 60, 80), (200, 300, 280, 380)]
+    a = mesh_engine.count_batch([img], [boxes], [rects], shot_num=3)[0]
+    b = engine.count_batch([img], [boxes], [rects], shot_num=3)[0]
+    assert a.count == pytest.approx(b.count, rel=1e-5)
+    np.testing.assert_allclose(a.density, b.density, atol=1e-5, rtol=1e-4)
+
+
 def test_count_batch_zero_shot(rng, engine):
     imgs = [rng.uniform(0, 1, (384, 512, 3)).astype(np.float32) for _ in range(2)]
     batch = engine.count_batch(imgs, [None, None], [[], []], shot_num=0)
