@@ -28,7 +28,7 @@ import numpy as np
 
 from countr_tpu.config import DENSITY_SCALE, WINDOW
 
-WIDTH_BUCKETS = (384, 512, 768, 1024, 1536, 2304, 4608)
+WIDTH_BUCKETS = (384, 448, 512, 576, 640, 768, 1024, 1536, 2304, 4608)
 
 
 def width_bucket(w: int) -> int:
@@ -179,5 +179,6 @@ class DevicePipeline:
         counts, esum = self._finalize(
             density, jnp.asarray(rects_np), jnp.asarray(rect_valid_np)
         )
-        out_density = np.asarray(density) if want_density else None
-        return np.asarray(counts), np.asarray(esum), out_density
+        # Device arrays out — callers fetch after dispatching further
+        # sets, so uploads of set k+1 overlap compute of set k.
+        return counts, esum, (density if want_density else None)

@@ -261,31 +261,41 @@ class CountingEngine:
         """Count a batch of images entirely on device. All images share
         one static shot_num (bucket by shot count in the caller)."""
         results: List[Optional[CountResult]] = [None] * len(images)
-        # Greedy-pack images into sets bounded by the row bucket (a
-        # grid-mode image consumes 9 rows).
+        # Sort by width so each set pads to a nearby bucket (low H2D
+        # waste) while staying full, then greedy-pack into sets bounded
+        # by the row bucket (a grid-mode image consumes 9 rows). Device
+        # work for every set is dispatched before any host readback, so
+        # uploads overlap compute.
+        order = sorted(range(len(images)), key=lambda i: images[i].shape[1])
+        pending = []
         set_idx: List[int] = []
         rows_used = 0
-        for i, img in enumerate(images):
+        for i in order:
             need = 9 if small_exemplar_count(rects_list[i]) >= self.max_s_cnt else 1
             if set_idx and rows_used + need > self.images_bucket:
-                self._run_set(
-                    set_idx, images, boxes_list, rects_list, shot_num,
-                    return_density, results,
+                pending.append(
+                    self._dispatch_set(
+                        set_idx, images, boxes_list, rects_list, shot_num,
+                        return_density,
+                    )
                 )
                 set_idx, rows_used = [], 0
             set_idx.append(i)
             rows_used += need
         if set_idx:
-            self._run_set(
-                set_idx, images, boxes_list, rects_list, shot_num,
-                return_density, results,
+            pending.append(
+                self._dispatch_set(
+                    set_idx, images, boxes_list, rects_list, shot_num,
+                    return_density,
+                )
             )
+        for handle in pending:
+            self._collect_set(handle, rects_list, return_density, results)
         return results  # type: ignore[return-value]
 
-    def _run_set(
-        self, idxs, images, boxes_list, rects_list, shot_num, return_density,
-        results,
-    ) -> None:
+    def _dispatch_set(
+        self, idxs, images, boxes_list, rects_list, shot_num, return_density
+    ):
         # Exemplar tokens for the set in one batched CNN call (padded to
         # the row bucket for a single compiled shape).
         n_img = len(idxs)
@@ -377,7 +387,7 @@ class CountingEngine:
                 rects_arr[ridx, k] = rect
                 rects_valid[ridx, k] = 1.0
 
-        counts, esum, density = self._pipeline.run(
+        counts_dev, esum_dev, density_dev = self._pipeline.run(
             stackr,
             y_rows,
             np.asarray(plan_owner, np.int32),
@@ -388,11 +398,20 @@ class CountingEngine:
             self.batch_windows,
             want_density=return_density,
         )
-
-        # Assemble per-image results.
         win_per_row: dict = {}
         for o in plan_owner:
             win_per_row[o] = win_per_row.get(o, 0) + 1
+        return (
+            idxs, img_rows, grid_flags, win_per_row, counts_dev, esum_dev,
+            density_dev,
+        )
+
+    def _collect_set(self, handle, rects_list, return_density, results) -> None:
+        (idxs, img_rows, grid_flags, win_per_row, counts_dev, esum_dev,
+         density_dev) = handle
+        counts = np.asarray(counts_dev)
+        esum = np.asarray(esum_dev)
+        density = np.asarray(density_dev) if density_dev is not None else None
         for i in idxs:
             rws = img_rows[i]
             raw = float(sum(counts[r] for (r, _) in rws))
