@@ -105,5 +105,9 @@ def main(args):
         )
 
 
-if __name__ == "__main__":
+def _entry():
     main(get_args())
+
+
+if __name__ == "__main__":
+    _entry()

@@ -289,5 +289,9 @@ def _log_val_panels(tb, model, state, val_ds, epoch, n_panels: int = 4):
         tb.image(f"val/density_{s['name']}", panel, epoch)
 
 
-if __name__ == "__main__":
+def _entry():
     main(get_args())
+
+
+if __name__ == "__main__":
+    _entry()

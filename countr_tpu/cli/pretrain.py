@@ -219,5 +219,9 @@ def _log_reconstruction(tb, model, state, images, rng, step):
     tb.image("pretrain/reconstruction", np.clip(panel, 0, 1), step)
 
 
-if __name__ == "__main__":
+def _entry():
     main(get_args())
+
+
+if __name__ == "__main__":
+    _entry()

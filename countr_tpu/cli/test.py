@@ -168,5 +168,9 @@ def main(args):
     return log_stats
 
 
-if __name__ == "__main__":
+def _entry():
     main(get_args())
+
+
+if __name__ == "__main__":
+    _entry()

@@ -76,5 +76,9 @@ def main(args):
     return stats
 
 
-if __name__ == "__main__":
+def _entry():
     main(get_args())
+
+
+if __name__ == "__main__":
+    _entry()

@@ -293,13 +293,26 @@ class CountingEngine:
             self._collect_set(handle, rects_list, return_density, results)
         return results  # type: ignore[return-value]
 
+    def _row_bucket(self, n_rows: int) -> int:
+        """Graduated row buckets: a partial set uploads (and
+        finalizes) at the smallest bucket that fits, instead of
+        zero-padding all the way to images_bucket."""
+        b = 4
+        while b < n_rows:
+            b *= 2
+        return min(max(b, 4), max(self.images_bucket, n_rows))
+
     def _dispatch_set(
         self, idxs, images, boxes_list, rects_list, shot_num, return_density
     ):
         # Exemplar tokens for the set in one batched CNN call (padded to
         # the row bucket for a single compiled shape).
         n_img = len(idxs)
-        r_bucket = self.images_bucket
+        grid_flags = {
+            i: small_exemplar_count(rects_list[i]) >= self.max_s_cnt for i in idxs
+        }
+        n_rows_est = sum(9 if grid_flags[i] else 1 for i in idxs)
+        r_bucket = self._row_bucket(max(n_rows_est, n_img))
         if shot_num > 0:
             bstack = np.stack(
                 [_as_float(boxes_list[i])[:shot_num] for i in idxs]
@@ -315,9 +328,6 @@ class CountingEngine:
 
         # Build rows + window plan.
         use_u8 = all(images[i].dtype == np.uint8 for i in idxs)
-        grid_flags = {
-            i: small_exemplar_count(rects_list[i]) >= self.max_s_cnt for i in idxs
-        }
         if any(grid_flags.values()):
             use_u8 = False  # grid crops are resized in float for parity
         max_w = max(images[i].shape[1] for i in idxs)

@@ -61,6 +61,18 @@ def test_cli_test_zero_shot(fsc_dir, tmp_path):  # noqa: F811
     assert np.isfinite(stats["MAE"])
 
 
+def test_cli_test_external_exemplars(fsc_dir, tmp_path):  # noqa: F811
+    from countr_tpu.cli import test as cli_test
+
+    stats = cli_test.main(
+        _test_args(
+            fsc_dir, str(tmp_path / "oute"), external=True, box_bound=3,
+            save_viz=False,
+        )
+    )
+    assert np.isfinite(stats["MAE"])
+
+
 def test_cli_demo_zero_shot(fsc_dir, tmp_path):  # noqa: F811
     from countr_tpu.cli import demo as cli_demo
 
