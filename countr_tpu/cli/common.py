@@ -37,6 +37,11 @@ def add_model_args(p: argparse.ArgumentParser, default_model: str = "mae_vit_bas
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
                    help="compute dtype; fp32 gives bit-parity with the torch reference")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (the TPU-side equivalent "
+                        "of the reference's CUDA_LAUNCH_BLOCKING debugging)")
+    p.add_argument("--wandb_project", default="", type=str,
+                   help="log to this W&B project when the client is available")
 
 
 def parse_dtype(name: str):
@@ -52,6 +57,11 @@ def load_meta(args):
     )
 
 
+def apply_runtime_flags(args) -> None:
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+
+
 def build_counting_model(args) -> Tuple[object, dict]:
     """Build the counting model and load weights per --resume:
     - path ending in .pth: reference torch checkpoint via the converter
@@ -63,6 +73,7 @@ def build_counting_model(args) -> Tuple[object, dict]:
     from countr_tpu.models import build_countr
     from countr_tpu.engine import checkpoint as ckpt
 
+    apply_runtime_flags(args)
     dtype = parse_dtype(args.dtype)
     model = build_countr(
         args.model, dtype=dtype,

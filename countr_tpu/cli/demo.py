@@ -20,7 +20,6 @@ import os
 import time
 from typing import List
 
-import numpy as np
 from PIL import Image
 
 from countr_tpu.cli import common

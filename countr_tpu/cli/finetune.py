@@ -90,6 +90,10 @@ def main(args):
     outdir = common.ensure_outdir(args)
     tb = TBWriter(os.path.join(outdir, "tb") if outdir else None)
     jsonl = JsonlLogger(outdir)
+    from countr_tpu.utils.metrics import WandbWriter
+
+    wandb = WandbWriter(getattr(args, "wandb_project", "") or None,
+                        config=vars(args))
 
     if args.init_from_mae:
         if args.init_from_mae.endswith(".pth"):
@@ -237,6 +241,7 @@ def main(args):
             flush=True,
         )
         jsonl.write(stats)
+        wandb.log(stats, step=epoch)
         for k, v in stats.items():
             if k != "epoch":
                 tb.scalar(k, v, epoch)

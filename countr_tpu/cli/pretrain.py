@@ -63,6 +63,7 @@ def build_mae_model(args):
     from countr_tpu.engine import checkpoint as ckpt
     from countr_tpu.models.mae import MaskedAutoencoderViT
 
+    common.apply_runtime_flags(args)
     cfg = dataclasses.replace(
         MAE_PRESETS[args.model],
         mask_ratio=args.mask_ratio,
@@ -107,6 +108,10 @@ def main(args):
     outdir = common.ensure_outdir(args)
     tb = TBWriter(os.path.join(outdir, "tb") if outdir else None)
     jsonl = JsonlLogger(outdir)
+    from countr_tpu.utils.metrics import WandbWriter
+
+    wandb = WandbWriter(getattr(args, "wandb_project", "") or None,
+                        config=vars(args))
 
     ds = PretrainDataset(meta, seed=args.seed)
     dl = DataLoader(
@@ -177,6 +182,7 @@ def main(args):
         )
         jsonl.write(stats)
         tb.scalar("train/loss", stats["train/loss"], epoch)
+        wandb.log(stats, step=epoch)
 
         if outdir and (
             (args.ckpt_every and (epoch + 1) % args.ckpt_every == 0)

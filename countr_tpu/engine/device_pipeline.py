@@ -19,7 +19,6 @@ once (window shape is always [B, 384, 384, 3]).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

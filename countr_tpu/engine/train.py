@@ -16,8 +16,7 @@ the reference's fp16 AMP + GradScaler (reference: util/misc.py:260-287)
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

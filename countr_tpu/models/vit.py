@@ -20,8 +20,6 @@ blocks with drop=attn_drop=drop_path=0 (reference: models_crossvit.py:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ the jitted step (see countr_tpu.parallel.mesh).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 

@@ -119,6 +119,33 @@ class TBWriter:
             self._w.flush()
 
 
+class WandbWriter:
+    """Optional Weights & Biases sink (reference wires W&B throughout:
+    FSC_finetune_cross.py:185-195, :320-326, util/misc.py:331-335).
+    Silently disabled when the wandb client is not installed or no
+    project is configured."""
+
+    def __init__(self, project: Optional[str] = None, run_name: Optional[str] = None,
+                 config: Optional[Dict] = None):
+        self._run = None
+        if not project:
+            return
+        try:
+            import wandb  # type: ignore
+
+            self._run = wandb.init(project=project, name=run_name, config=config)
+        except Exception:
+            self._run = None
+
+    def log(self, record: Dict, step: Optional[int] = None):
+        if self._run is not None:
+            self._run.log(record, step=step)
+
+    def finish(self):
+        if self._run is not None:
+            self._run.finish()
+
+
 class CountingMetrics:
     """MAE/RMSE/NAE accumulator over per-image count errors
     (reference: FSC_test_cross(few-shot).py:361-365, :429-434)."""
