@@ -185,7 +185,7 @@ def main(args):
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        tr_loss = tr_mae = tr_mse = 0.0
+        step_metrics = []  # device arrays; one host sync per epoch
         n_steps = 0
         for batch in device_prefetch(train_dl.epoch(epoch), put=put):
             if args.limit_steps and n_steps >= args.limit_steps:
@@ -193,12 +193,14 @@ def main(args):
             shot_num = sample_shot_num(py_rng, batch["m_flag"])
             rng = jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + n_steps)
             state, m = train_step(state, batch, rng, shot_num)
-            tr_loss += float(m["loss"])
-            tr_mae += float(m["mae"])
-            tr_mse += float(m["mse"])
+            step_metrics.append(m)
             n_steps += 1
-            if not np.isfinite(tr_loss):
-                raise SystemExit(f"Loss is not finite at epoch {epoch}")
+        host_metrics = jax.device_get(step_metrics)
+        tr_loss = sum(float(m["loss"]) for m in host_metrics)
+        tr_mae = sum(float(m["mae"]) for m in host_metrics)
+        tr_mse = sum(float(m["mse"]) for m in host_metrics)
+        if not np.isfinite(tr_loss):
+            raise SystemExit(f"Loss is not finite at epoch {epoch}")
 
         # validation (reference: FSC_finetune_cross.py:328-350); ragged
         # last batch is padded up to the device multiple and the padding

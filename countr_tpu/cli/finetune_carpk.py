@@ -111,15 +111,17 @@ def main(args):
 
     for epoch in range(args.epochs):
         t0 = time.time()
-        loss_sum, mae_sum, n = 0.0, 0.0, 0
+        step_metrics, n = [], 0
         for batch in device_prefetch(dl.epoch(epoch), put=put):
             if args.limit_steps and n >= args.limit_steps:
                 break
             rng = jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + n)
             state, m = step(state, batch, rng, 1)  # shot_num=1
-            loss_sum += float(m["loss"])
-            mae_sum += float(m["mae"])
+            step_metrics.append(m)
             n += 1
+        host_metrics = jax.device_get(step_metrics)
+        loss_sum = sum(float(m["loss"]) for m in host_metrics)
+        mae_sum = sum(float(m["mae"]) for m in host_metrics)
         stats = {
             "epoch": epoch,
             "train/loss": loss_sum / max(n, 1),

@@ -152,7 +152,8 @@ def main(args):
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        loss_sum, n_steps = 0.0, 0
+        step_losses = []  # device arrays; one host sync per epoch
+        n_steps = 0
         for batch in device_prefetch(
             dl.epoch(epoch),
             put=lambda b: jax.device_put(b["image"], bsh),
@@ -161,13 +162,14 @@ def main(args):
                 break
             rng = jax.random.fold_in(jax.random.key(args.seed), global_step)
             state, m = step_fn(state, batch, rng)
-            loss_sum += float(m["loss"])
+            step_losses.append(m["loss"])
             n_steps += 1
             global_step += 1
-            if not np.isfinite(loss_sum):
-                raise SystemExit(f"Loss is not finite at epoch {epoch}")
             if args.recon_every and global_step % args.recon_every == 0:
                 _log_reconstruction(tb, model, state, batch, rng, global_step)
+        loss_sum = float(np.sum(jax.device_get(step_losses))) if step_losses else 0.0
+        if not np.isfinite(loss_sum):
+            raise SystemExit(f"Loss is not finite at epoch {epoch}")
 
         stats = {
             "epoch": epoch,

@@ -172,6 +172,114 @@ def convert_mae_state_dict(
     return {"params": params}
 
 
+# ---------------------------------------------------------------------------
+# Reverse export: flax params -> reference torch state_dict
+# ---------------------------------------------------------------------------
+
+
+def _t_inv(k: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(k, np.float32).T)
+
+
+def _conv_inv(k: np.ndarray) -> np.ndarray:
+    """flax HWIO -> torch OIHW."""
+    return np.ascontiguousarray(np.asarray(k, np.float32).transpose(3, 2, 0, 1))
+
+
+def _patch_kernel_inv(k: np.ndarray, patch: int, in_chans: int = 3) -> np.ndarray:
+    """[(p*p*c), D] matmul kernel -> torch conv [D, c, p, p]."""
+    k = np.asarray(k, np.float32)
+    d = k.shape[1]
+    return np.ascontiguousarray(
+        k.T.reshape(d, patch, patch, in_chans).transpose(0, 3, 1, 2)
+    )
+
+
+def _ln_inv(sd, prefix, p):
+    sd[f"{prefix}.weight"] = np.asarray(p["scale"], np.float32)
+    sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _dense_inv(sd, prefix, p):
+    sd[f"{prefix}.weight"] = _t_inv(p["kernel"])
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _encoder_block_inv(sd, p, prefix):
+    _ln_inv(sd, f"{prefix}.norm1", p["norm1"])
+    _dense_inv(sd, f"{prefix}.attn.qkv", p["attn"]["qkv"])
+    _dense_inv(sd, f"{prefix}.attn.proj", p["attn"]["proj"])
+    _ln_inv(sd, f"{prefix}.norm2", p["norm2"])
+    _dense_inv(sd, f"{prefix}.mlp.fc1", p["mlp"]["fc1"])
+    _dense_inv(sd, f"{prefix}.mlp.fc2", p["mlp"]["fc2"])
+
+
+def export_countr_state_dict(
+    params: Mapping[str, Any], patch: int = 16, grid: int = 24
+) -> Dict[str, np.ndarray]:
+    """CounTR flax params -> reference SupervisedMAE torch state_dict
+    (the inverse of convert_countr_state_dict), so models trained here
+    load in the reference PyTorch ecosystem. Fixed sin-cos pos embeds
+    are emitted too (the reference stores them as buffers)."""
+    from countr_tpu.ops.posembed import get_2d_sincos_pos_embed
+
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+    sd["patch_embed.proj.weight"] = _patch_kernel_inv(
+        p["patch_embed"]["proj"]["kernel"], patch
+    )
+    sd["patch_embed.proj.bias"] = np.asarray(p["patch_embed"]["proj"]["bias"], np.float32)
+    depth = len([k for k in p if k.startswith("blocks_")])
+    for i in range(depth):
+        _encoder_block_inv(sd, p[f"blocks_{i}"], f"blocks.{i}")
+    _ln_inv(sd, "norm", p["norm"])
+    _dense_inv(sd, "decoder_embed", p["decoder_embed"])
+    sd["shot_token"] = np.asarray(p["shot_token"], np.float32)
+    for k in (1, 2, 3, 4):
+        conv = p["exemplar_encoder"][f"conv{k}"]
+        sd[f"decoder_proj{k}.0.weight"] = _conv_inv(conv["kernel"])
+        sd[f"decoder_proj{k}.0.bias"] = np.asarray(conv["bias"], np.float32)
+    dec_depth = len([k for k in p if k.startswith("decoder_blocks_")])
+    for i in range(dec_depth):
+        blk = p[f"decoder_blocks_{i}"]
+        pre = f"decoder_blocks.{i}"
+        _ln_inv(sd, f"{pre}.norm0", blk["norm0"])
+        _dense_inv(sd, f"{pre}.selfattn.qkv", blk["selfattn"]["qkv"])
+        _dense_inv(sd, f"{pre}.selfattn.proj", blk["selfattn"]["proj"])
+        _ln_inv(sd, f"{pre}.norm1", blk["norm1"])
+        for w in ("wq", "wk", "wv", "proj"):
+            _dense_inv(sd, f"{pre}.attn.{w}", blk["attn"][w])
+        _ln_inv(sd, f"{pre}.norm2", blk["norm2"])
+        _dense_inv(sd, f"{pre}.mlp.fc1", blk["mlp"]["fc1"])
+        _dense_inv(sd, f"{pre}.mlp.fc2", blk["mlp"]["fc2"])
+    _ln_inv(sd, "decoder_norm", p["decoder_norm"])
+    head = p["density_head"]
+    for k in range(4):
+        sd[f"decode_head{k}.0.weight"] = _conv_inv(head[f"conv{k}"]["kernel"])
+        sd[f"decode_head{k}.0.bias"] = np.asarray(head[f"conv{k}"]["bias"], np.float32)
+        sd[f"decode_head{k}.1.weight"] = np.asarray(head[f"gn{k}_scale"], np.float32)
+        sd[f"decode_head{k}.1.bias"] = np.asarray(head[f"gn{k}_bias"], np.float32)
+    sd["decode_head3.3.weight"] = _conv_inv(head["pred"]["kernel"])
+    sd["decode_head3.3.bias"] = np.asarray(head["pred"]["bias"], np.float32)
+
+    embed_dim = sd["patch_embed.proj.bias"].shape[0]
+    dec_dim = sd["decoder_embed.bias"].shape[0]
+    sd["pos_embed"] = get_2d_sincos_pos_embed(embed_dim, grid)[None]
+    sd["decoder_pos_embed"] = get_2d_sincos_pos_embed(dec_dim, grid)[None]
+    return sd
+
+
+def save_torch_checkpoint(path: str, state_dict: Mapping[str, np.ndarray]) -> None:
+    """Write a reference-format .pth ({'model': state_dict})."""
+    import torch
+
+    torch.save(
+        {"model": {k: torch.from_numpy(np.asarray(v)) for k, v in state_dict.items()}},
+        path,
+    )
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .pth and return its model state_dict as numpy.
 
