@@ -96,9 +96,9 @@ def build_counting_model(args) -> Tuple[object, dict]:
             jax.random.key(args.seed), imgs, boxes, 3
         )
         if args.resume:
-            restored, step = ckpt.restore_checkpoint(args.resume, {"params": params["params"]})
-            params = {"params": restored["params"]}
-            print(f"restored orbax checkpoint step {step} from {args.resume}")
+            # works for both params-only and full-TrainState checkpoints
+            params = ckpt.restore_params(args.resume, params)
+            print(f"restored orbax checkpoint from {args.resume}")
     return model, params
 
 

@@ -328,6 +328,31 @@ def restore_checkpoint(directory: str, state: Any, step: int | None = None) -> A
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract)), step
 
 
+def restore_params(directory: str, params_template: Any, step: int | None = None) -> Any:
+    """Restore ONLY the model params from any of our checkpoint
+    layouts: a params-only checkpoint ({'params': ...}, written by
+    pretrain's ckpt_params) or a full TrainState checkpoint
+    (step/params/opt_state, written by the training loops). Returns a
+    {'params': ...} tree."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    template = params_template.get("params", params_template)
+    with ocp.CheckpointManager(directory) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {directory}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        restored = mgr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item={"params": abstract}, partial_restore=True
+            ),
+        )
+        return {"params": restored["params"]}
+
+
 def latest_step(directory: str) -> int | None:
     import orbax.checkpoint as ocp
 

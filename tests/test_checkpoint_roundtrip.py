@@ -23,6 +23,47 @@ def test_roundtrip_identity(rng, tmp_path):
     assert back["decoder_pos_embed"].shape == (1, 16, 32)
 
 
+def test_restore_params_from_trainstate(rng, tmp_path):
+    """restore_params must pull the params subtree out of a full
+    TrainState checkpoint (the finetune ckpt layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from countr_tpu.config import CounTRConfig, TrainConfig
+    from countr_tpu.engine.checkpoint import restore_params, save_checkpoint
+    from countr_tpu.engine.train import init_train_state, make_optimizer
+    from countr_tpu.models.countr import CounTR
+
+    cfg = CounTRConfig(
+        img_size=64, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+    )
+    model = CounTR(cfg)
+    params = model.init(
+        jax.random.key(3), jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 3, 64, 64, 3)), 1,
+    )
+    tx, _ = make_optimizer(TrainConfig(batch_size=2, epochs=2, warmup_epochs=1),
+                           1, 2, freeze_encoder=True)
+    state = init_train_state(params["params"], tx)
+    d = str(tmp_path / "ts")
+    save_checkpoint(d, 0, jax.device_get(state))
+    restored = restore_params(d, params)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["decoder_embed"]["kernel"]),
+        np.asarray(params["params"]["decoder_embed"]["kernel"]),
+    )
+
+    # and from a params-only checkpoint (the pretrain ckpt_params layout)
+    d2 = str(tmp_path / "ponly")
+    save_checkpoint(d2, 0, {"params": jax.device_get(params["params"])})
+    restored2 = restore_params(d2, params)
+    np.testing.assert_array_equal(
+        np.asarray(restored2["params"]["shot_token"]),
+        np.asarray(params["params"]["shot_token"]),
+    )
+
+
 def test_pth_save_load_roundtrip(rng, tmp_path):
     sd = make_countr_state_dict(rng, embed_dim=64, depth=1, dec_dim=32, dec_depth=1)
     params = convert_countr_state_dict(sd, depth=1, decoder_depth=1)
