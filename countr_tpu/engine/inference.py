@@ -180,6 +180,10 @@ class CountingEngine:
         rects: exemplar rectangles (y1, x1, y2, x2) in image coords."""
         if shot_num is None:
             shot_num = 0 if boxes is None else int(boxes.shape[0])
+        assert image.shape[0] == WINDOW, (
+            f"engine expects H={WINDOW} rows (test-pipeline geometry, "
+            f"reference: FSC_test_cross(few-shot).py:148); got {image.shape}"
+        )
         y = self.exemplar_tokens(boxes, shot_num)
         image = _as_float(image)
         h, w = image.shape[:2]
@@ -260,6 +264,10 @@ class CountingEngine:
     ) -> List[CountResult]:
         """Count a batch of images entirely on device. All images share
         one static shot_num (bucket by shot count in the caller)."""
+        for img in images:
+            assert img.shape[0] == WINDOW, (
+                f"engine expects H={WINDOW} rows; got {img.shape}"
+            )
         results: List[Optional[CountResult]] = [None] * len(images)
         # Sort by width so each set pads to a nearby bucket (low H2D
         # waste) while staying full, then greedy-pack into sets bounded
