@@ -78,17 +78,18 @@ def main():
     print(f"compiling {name} step (batch {b})...", flush=True)
     t0 = time.time()
     state, m = run(state, 0)
-    jax.block_until_ready(m)
+    _ = float(m["loss"])  # host fetch = true sync (block_until_ready is
+    # unreliable over the tunneled axon backend)
     print(f"compile+first step: {time.time() - t0:.1f}s", flush=True)
 
     t0 = time.time()
     for i in range(1, args.steps + 1):
-        state, m = run(state, i)
-    jax.block_until_ready(m)
+        state, m = run(state, i)  # steps chain through `state`
+    loss = float(m["loss"])  # single fetch drains the whole chain
     dt = (time.time() - t0) / args.steps
     print(
         f"{name}: {dt * 1e3:.1f} ms/step, {b / dt:.1f} images/sec "
-        f"(batch {b}, loss {float(m['loss']):.4f})",
+        f"(batch {b}, loss {loss:.4f})",
         flush=True,
     )
 
