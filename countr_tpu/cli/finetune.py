@@ -146,7 +146,8 @@ def main(args):
         accum_iter=args.accum_iter, seed=args.seed, output_dir=args.output_dir,
     )
     tx, sched = make_optimizer(
-        tcfg, steps_per_epoch, args.batch_size,
+        tcfg, steps_per_epoch,
+        args.batch_size * args.accum_iter,  # eff batch for blr scaling
         freeze_encoder=model.cfg.freeze_encoder,
     )
     state = init_train_state(params["params"], tx)

@@ -93,7 +93,8 @@ def main(args):
         weight_decay=args.weight_decay, seed=args.seed, loss_mask_p=1.0,
     )
     tx, sched = make_optimizer(
-        tcfg, steps_per_epoch, args.batch_size,
+        tcfg, steps_per_epoch,
+        args.batch_size * args.accum_iter,  # eff batch for blr scaling
         freeze_encoder=model.cfg.freeze_encoder,
     )
     state = init_train_state(params["params"], tx)

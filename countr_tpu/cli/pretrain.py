@@ -128,7 +128,9 @@ def main(args):
         min_lr=args.min_lr, weight_decay=args.weight_decay,
         accum_iter=args.accum_iter, seed=args.seed,
     )
-    tx, sched = make_optimizer(tcfg, steps_per_epoch, args.batch_size)
+    tx, sched = make_optimizer(tcfg, steps_per_epoch,
+        args.batch_size * args.accum_iter,  # eff batch for blr scaling
+        )
     state = init_train_state(params["params"], tx)
 
     mesh = get_mesh(args.n_devices or None)
