@@ -106,6 +106,14 @@ def main(args):
         tot_infer += time.perf_counter() - t0
         for k, r in zip(idxs, res):
             results[k] = r
+            s = samples[k]
+            gt_cnt = float(len(s["dots"]))
+            print(
+                f"{k}/{n}: pred_cnt: {r.count:5.3f},  gt_cnt: {gt_cnt:5.3f},  "
+                f"error: {abs(r.count - gt_cnt):5.3f}, id: {s['name']}, "
+                f"s_cnt: {r.grid_mode}",
+                flush=True,
+            )
 
     with trace(getattr(args, "profile_dir", "") or None):
         with ThreadPoolExecutor(max_workers=4) as pool:
@@ -131,12 +139,6 @@ def main(args):
         gts.append(gt_cnt)
         if gt_cnt == 0:
             empties.append(s["name"])
-        print(
-            f"{k}/{len(samples)}: pred_cnt: {r.count:5.3f},  gt_cnt: {gt_cnt:5.3f},  "
-            f"error: {abs(r.count - gt_cnt):5.3f}, id: {s['name']}, "
-            f"s_cnt: {r.grid_mode}",
-            flush=True,
-        )
         if args.save_viz and outdir:
             img_f = s["image"]
             if img_f.dtype == np.uint8:

@@ -37,7 +37,7 @@ def make_image(rng, w=512, k=None):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", default=1500, type=int)
+    p.add_argument("--steps", default=1000, type=int)
     p.add_argument("--n_train", default=256, type=int)
     p.add_argument("--n_test", default=8, type=int)
     p.add_argument("--batch", default=8, type=int)
@@ -107,8 +107,12 @@ def main():
             "boxes": jnp.asarray(np.stack([train[j][2] for j in idxs])),
         }
         state, m = step(state, batch, jax.random.fold_in(jax.random.key(1), i), 3)
-        if i % 100 == 0:
-            print(f"  step {i}: loss {float(m['loss']):.4f}", flush=True)
+        # sync every 25 steps: unbounded async queues can wedge the
+        # tunneled device
+        if i % 25 == 0:
+            loss = float(m["loss"])
+            if i % 100 == 0:
+                print(f"  step {i}: loss {loss:.4f}", flush=True)
     print(f"trained {args.steps} steps in {time.time() - t0:.0f}s", flush=True)
 
     engine = CountingEngine(model, {"params": state.params}, batch_windows=32)
