@@ -196,6 +196,11 @@ def main(args):
             state, m = train_step(state, batch, rng, shot_num)
             step_metrics.append(m)
             n_steps += 1
+            if n_steps % 32 == 0:
+                # bound the async dispatch chain (long unsynced chains
+                # can wedge tunneled devices) and catch NaNs early
+                if not np.isfinite(float(m["loss"])):
+                    raise SystemExit(f"Loss is not finite at epoch {epoch}")
         host_metrics = jax.device_get(step_metrics)
         tr_loss = sum(float(m["loss"]) for m in host_metrics)
         tr_mae = sum(float(m["mae"]) for m in host_metrics)

@@ -120,6 +120,9 @@ def main(args):
             state, m = step(state, batch, rng, 1)  # shot_num=1
             step_metrics.append(m)
             n += 1
+            if n % 32 == 0:
+                if not np.isfinite(float(m["loss"])):
+                    raise SystemExit(f"Loss is not finite at epoch {epoch}")
         host_metrics = jax.device_get(step_metrics)
         loss_sum = sum(float(m["loss"]) for m in host_metrics)
         mae_sum = sum(float(m["mae"]) for m in host_metrics)

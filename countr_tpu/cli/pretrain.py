@@ -167,6 +167,9 @@ def main(args):
             step_losses.append(m["loss"])
             n_steps += 1
             global_step += 1
+            if n_steps % 32 == 0:
+                if not np.isfinite(float(m["loss"])):
+                    raise SystemExit(f"Loss is not finite at epoch {epoch}")
             if args.recon_every and global_step % args.recon_every == 0:
                 _log_reconstruction(tb, model, state, batch, rng, global_step)
         loss_sum = float(np.sum(jax.device_get(step_losses))) if step_losses else 0.0
