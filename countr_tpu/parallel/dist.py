@@ -8,6 +8,11 @@ automatically; on other launchers the standard JAX env vars
 (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) are
 honored. Gradient/metric all-reduce needs no backend — it is part of
 the jitted step (see countr_tpu.parallel.mesh).
+
+Known limitation: the host data loaders currently build the full
+global batch in every process (single-host assumption, like the
+reference's single-node runs); per-process dataset sharding for
+multi-host pods is future work.
 """
 
 from __future__ import annotations
