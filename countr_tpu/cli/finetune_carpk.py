@@ -36,6 +36,7 @@ def get_args():
     p.add_argument("--blr", default=2e-4, type=float)
     p.add_argument("--lr", default=None, type=float)
     p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--accum_iter", default=1, type=int)
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--limit_steps", default=0, type=int)
     p.add_argument("--n_devices", default=1, type=int)
@@ -90,7 +91,8 @@ def main(args):
     tcfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs,
         warmup_epochs=args.warmup_epochs, blr=args.blr, lr=args.lr,
-        weight_decay=args.weight_decay, seed=args.seed, loss_mask_p=1.0,
+        weight_decay=args.weight_decay, accum_iter=args.accum_iter,
+        seed=args.seed, loss_mask_p=1.0,
     )
     tx, sched = make_optimizer(
         tcfg, steps_per_epoch,
