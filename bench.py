@@ -75,10 +75,10 @@ def main():
     engine.count_batch(images, boxes, rects, shot_num=3, return_density=False)
     note(f"warmup done in {time.perf_counter() - t_c:.1f}s; timing...")
 
-    # Best of 3 timed passes: the tunneled-TPU link bandwidth is shared
+    # Best of 5 timed passes: the tunneled-TPU link bandwidth is shared
     # and noisy; best-of reflects the pipeline's actual capability.
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         results = engine.count_batch(
             images, boxes, rects, shot_num=3, return_density=False

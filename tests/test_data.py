@@ -133,6 +133,22 @@ def test_train_mosaic_paths(meta):
     assert den_out.sum() > 0  # dots survive into cells
 
 
+def test_mosaic_density_mass_is_integral(meta):
+    """Mosaic cell densities are binary dot maps: the assembled map's
+    mass must be a non-negative integer (each kept dot contributes
+    exactly one unit; blending only touches pixels, not dots)."""
+    ds = TrainDataset(meta, split="train", do_aug=True, seed=0)
+    im_id = ds.ids[0]
+    image, dots, sy, sx, nh, nw = ds._load_resized(im_id)
+    many = np.random.default_rng(5).uniform(10, 300, (90, 2))
+    for trial in range(5):
+        rng = np.random.default_rng(trial)
+        _, den, m_flag = ds._mosaic(rng, im_id, image, many, sy, sx, nh, nw)
+        total = float(den.sum())
+        assert total >= 0
+        assert abs(total - round(total)) < 1e-4, total
+
+
 def test_pretrain_dataset(meta):
     ds = PretrainDataset(meta, split="train")
     s = ds[2]

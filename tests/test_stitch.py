@@ -60,6 +60,18 @@ def test_window_starts_sequences():
     assert window_starts(368) == []
 
 
+def test_stitch_matches_sequential_full_sweep(rng):
+    """Exhaustive width sweep (every multiple of 16 the test pipeline
+    can produce up to 2048) against the sequential oracle on a thin
+    strip — catches any off-by-one in the tail-snap arithmetic."""
+    for w in range(384, 2049, 16):
+        starts, weights = stitch_weights(w)
+        outs = {s: rng.standard_normal((1, 384)).astype(np.float32) for s in starts}
+        want = _sequential_blend(outs, w, h=1)
+        got = stitch(np.stack([outs[s] for s in starts]), starts, weights, w)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5, err_msg=str(w))
+
+
 def test_weights_sum_to_one_in_covered_region():
     """Every covered column's weights must sum to 1 — the blend is an
     average, so total mass is conserved."""
