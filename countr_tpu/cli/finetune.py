@@ -44,6 +44,9 @@ def get_args():
     p.add_argument("--no_aug", action="store_true",
                    help="disable train-time augmentation")
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--use_processes", action="store_true",
+                   help="process-pool data workers (GIL-free aug "
+                        "on many-core hosts)")
     p.add_argument("--ckpt_every", default=50, type=int)
     p.add_argument("--do_resume", action="store_true",
                    help="resume full training state from output_dir")
@@ -132,6 +135,7 @@ def main(args):
     train_dl = DataLoader(
         train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
         drop_last=True, seed=args.seed,
+        use_processes=getattr(args, "use_processes", False),
     )
     val_dl = DataLoader(val_ds, args.batch_size, num_workers=args.num_workers)
 

@@ -44,6 +44,9 @@ def get_args():
     p.add_argument("--weight_decay", default=0.05, type=float)
     p.add_argument("--accum_iter", default=1, type=int)
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--use_processes", action="store_true",
+                   help="process-pool data workers (GIL-free aug "
+                        "on many-core hosts)")
     p.add_argument("--ckpt_every", default=100, type=int)
     p.add_argument("--do_resume", action="store_true")
     p.add_argument("--recon_every", default=2000, type=int,
@@ -117,6 +120,7 @@ def main(args):
     dl = DataLoader(
         ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
         drop_last=True, seed=args.seed,
+        use_processes=getattr(args, "use_processes", False),
     )
     steps_per_epoch = len(dl)
     if args.limit_steps:

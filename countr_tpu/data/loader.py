@@ -10,14 +10,30 @@ while batch N computes.
 
 from __future__ import annotations
 
+import pickle
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 _STACK_KEYS = ("image", "gt_density", "boxes")
+
+# --- process-worker plumbing (one unpickled dataset per worker) ----------
+_worker_dataset = None
+
+
+def _proc_init(ds_bytes: bytes) -> None:
+    global _worker_dataset
+    _worker_dataset = pickle.loads(ds_bytes)
+
+
+def _proc_fetch(job):
+    epoch, idx = job
+    if hasattr(_worker_dataset, "set_epoch"):
+        _worker_dataset.set_epoch(epoch)
+    return _worker_dataset[idx]
 
 
 def default_collate(samples: Sequence[Dict]) -> Dict:
@@ -53,7 +69,12 @@ class DataLoader:
         seed: int = 0,
         collate: Callable = default_collate,
         prefetch_batches: int = 2,
+        use_processes: bool = False,
     ):
+        """use_processes: fetch samples in worker *processes* instead of
+        threads — sidesteps the GIL for the Python parts of heavy
+        augmentation on many-core training hosts (the dataset must be
+        picklable; ours are plain dataclass/dict state)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -62,6 +83,7 @@ class DataLoader:
         self.seed = seed
         self.collate = collate
         self.prefetch_batches = prefetch_batches
+        self.use_processes = use_processes
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -85,7 +107,17 @@ class DataLoader:
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        if self.use_processes:
+            pool = ProcessPoolExecutor(
+                self.num_workers, initializer=_proc_init,
+                initargs=(pickle.dumps(self.dataset),),
+            )
+            submit = lambda i: pool.submit(_proc_fetch, (epoch, int(i)))  # noqa: E731
+        else:
+            pool = ThreadPoolExecutor(self.num_workers)
+            submit = lambda i: pool.submit(self.dataset.__getitem__, int(i))  # noqa: E731
+
+        try:
             pending: "queue.Queue" = queue.Queue()
             it = iter(batches)
 
@@ -94,8 +126,7 @@ class DataLoader:
                     idxs = next(it)
                 except StopIteration:
                     return False
-                futs = [pool.submit(self.dataset.__getitem__, int(i)) for i in idxs]
-                pending.put(futs)
+                pending.put([submit(i) for i in idxs])
                 return True
 
             for _ in range(self.prefetch_batches):
@@ -105,6 +136,8 @@ class DataLoader:
                 futs = pending.get()
                 submit_next()
                 yield self.collate([f.result() for f in futs])
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def device_prefetch(it: Iterator[Dict], put: Optional[Callable] = None, depth: int = 2):

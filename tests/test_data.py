@@ -171,6 +171,22 @@ def test_dataloader_batching_and_determinism(meta):
     assert set(names_a) == set(names_c) and names_a != names_c
 
 
+def test_dataloader_process_workers(meta):
+    """Process-pool workers must yield the same deterministic samples
+    as thread workers."""
+    ds = TrainDataset(meta, split="train", do_aug=True, seed=3)
+    thread_dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=1)
+    proc_dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=1,
+                         use_processes=True)
+    a = list(thread_dl.epoch(0))
+    b = list(proc_dl.epoch(0))
+    assert [x["name"] for batch in a for x in [batch]] is not None
+    for ba, bb in zip(a, b):
+        assert ba["name"] == bb["name"]
+        np.testing.assert_array_equal(ba["image"], bb["image"])
+        np.testing.assert_array_equal(ba["gt_density"], bb["gt_density"])
+
+
 def test_affine_keypoint_consistency(rng):
     """Warped keypoints must land where the warped image content lands:
     warp a one-hot image and check the bright pixel follows the point."""
