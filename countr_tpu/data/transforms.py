@@ -30,6 +30,7 @@ import numpy as np
 from PIL import Image
 from scipy import ndimage
 
+from countr_tpu import native
 from countr_tpu.config import DENSITY_SCALE, EXEMPLAR_SIZE, IMG_SIZE
 
 # ---------------------------------------------------------------------------
@@ -98,6 +99,12 @@ def density_from_dots(
     """Gaussian-smoothed, x60-scaled density map (reference:
     util/FSC147.py:274-279 train sigma=1; :332-333 val sigma=4
     radius=7)."""
+    if native.lib() is not None:
+        # O(dots*r^2) sparse splat == gaussian_filter(dot_map) * scale
+        # (linearity + reflect boundary; exactness-tested vs scipy)
+        return native.density_splat(
+            np.asarray(points, np.float32).reshape(-1, 2), h, w, sigma, radius, scale
+        )
     m = dot_map(points, h, w)
     kw = {"sigma": sigma, "order": 0}
     if radius is not None:
@@ -157,7 +164,17 @@ def scale_rects(
 
 
 def gaussian_noise(rng: np.random.Generator, img: np.ndarray, std: float = 0.1) -> np.ndarray:
-    """Additive N(0, 0.1) noise, clamped (reference: util/FSC147.py:134-138)."""
+    """Additive N(0, 0.1) noise, clamped (reference: util/FSC147.py:134-138).
+
+    Native path: fused generate+add+clip in one pass (xoshiro256++
+    seeded from the per-sample Generator — still deterministic per
+    (seed, epoch, index), distribution-level parity with numpy)."""
+    if native.lib() is not None:
+        out = np.ascontiguousarray(img, np.float32)
+        if out is img:
+            out = img.copy()
+        native.noise_clip(out, std, int(rng.integers(0, 2**63)))
+        return out
     return np.clip(img + rng.normal(0, std, img.shape), 0.0, 1.0).astype(np.float32)
 
 
@@ -178,6 +195,28 @@ def color_jitter(
     util/FSC147.py:371-374)."""
     ops = list(range(4))
     rng.shuffle(ops)
+    if native.lib() is not None:
+        # same rng draws, fused in-place native kernels (one pass per
+        # op, no full-image temporaries / HSV round trips)
+        out = np.ascontiguousarray(img, np.float32)
+        if out is img:
+            out = img.copy()
+        for op in ops:
+            if op == 0:
+                native.blend_scalar(out, 0.0, rng.uniform(max(0, 1 - brightness), 1 + brightness))
+            elif op == 1:
+                f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+                native.blend_scalar(out, native.gray_mean(out), f)
+            elif op == 2:
+                native.blend_gray(out, rng.uniform(max(0, 1 - saturation), 1 + saturation))
+            else:
+                # hue stays on cv2 — its SIMD HSV round trip beats a
+                # scalar native loop 3x (measured)
+                f = rng.uniform(-hue, hue)
+                hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)
+                hsv[..., 0] = (hsv[..., 0] + f * 360.0) % 360.0
+                out = np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0, 1)
+        return out
     for op in ops:
         if op == 0:  # brightness: blend with zero
             f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
