@@ -68,8 +68,12 @@ def get_args():
 
 def sample_shot_num(rng: random.Random, m_flags: np.ndarray) -> int:
     """0-3 shots, but Type-2 mosaic in the batch bans 0-shot
-    (reference: FSC_finetune_cross.py:277-284)."""
-    lo = 1 if int(m_flags.sum()) > 0 else 0
+    (reference: FSC_finetune_cross.py:277-284). The m_flag test spans
+    the GLOBAL batch (allgathered on multi-host) so every process draws
+    the same static shot_num from its identically-seeded rng."""
+    from countr_tpu.parallel.mesh import global_any
+
+    lo = 1 if global_any(m_flags) else 0
     return rng.randint(lo, 3)
 
 
@@ -82,7 +86,7 @@ def main(args):
         transfer_encoder,
     )
     from countr_tpu.parallel.mesh import (
-        batch_sharding, get_mesh, replicated_sharding,
+        batch_sharding, get_mesh, make_global_batch, replicated_sharding,
     )
 
     from countr_tpu.parallel.dist import init_distributed
@@ -132,12 +136,21 @@ def main(args):
 
     train_ds = TrainDataset(meta, do_aug=not args.no_aug, seed=args.seed)
     val_ds = ValDataset(meta)
+    # multi-host: --batch_size stays the GLOBAL batch; each process
+    # loads only its slice and make_global_batch stitches the shards
+    # (the reference's DistributedSampler+DDP split, without the
+    # gradient backend)
+    n_proc, proc_id = jax.process_count(), jax.process_index()
     train_dl = DataLoader(
         train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
         drop_last=True, seed=args.seed,
         use_processes=getattr(args, "use_processes", False),
+        process_index=proc_id, process_count=n_proc,
     )
-    val_dl = DataLoader(val_ds, args.batch_size, num_workers=args.num_workers)
+    val_dl = DataLoader(
+        val_ds, args.batch_size, num_workers=args.num_workers,
+        process_index=proc_id, process_count=n_proc,
+    )
 
     steps_per_epoch = len(train_dl)
     if args.limit_steps:
@@ -181,10 +194,11 @@ def main(args):
     min_mae = float("inf")
 
     def put(batch):
-        dev = {
-            k: jax.device_put(batch[k], bsh)
-            for k in ("image", "gt_density", "boxes")
-        }
+        arrays = {k: batch[k] for k in ("image", "gt_density", "boxes")}
+        if n_proc > 1:
+            dev = make_global_batch(mesh, arrays)
+        else:
+            dev = {k: jax.device_put(v, bsh) for k, v in arrays.items()}
         dev["m_flag"] = batch["m_flag"]
         return dev
 
@@ -218,19 +232,29 @@ def main(args):
         v_err, v_sq, v_nae, v_n = 0.0, 0.0, 0.0, 0
         for batch in val_dl.epoch(0):
             true_n = batch["image"].shape[0]
+            # pad the ragged tail up to the device multiple; the valid
+            # mask zeroes the padding inside the jitted sums (multi-host
+            # loaders yield even batches, so pad=0 there)
+            pad = (-true_n) % (n_dev if n_proc == 1 else 1)
             vb = {}
             for k in ("image", "gt_density", "boxes"):
                 arr = batch[k]
-                pad = (-true_n) % n_dev
                 if pad:
                     arr = np.concatenate([arr, arr[-1:].repeat(pad, axis=0)], 0)
-                vb[k] = jax.device_put(arr, bsh)
+                vb[k] = arr
+            vb["valid"] = np.concatenate(
+                [np.ones(true_n, np.float32), np.zeros(pad, np.float32)]
+            )
+            if n_proc > 1:
+                vb = make_global_batch(mesh, vb)
+            else:
+                vb = {k: jax.device_put(v, bsh) for k, v in vb.items()}
             shot_num = py_rng.randint(0, 3)
             em = eval_step(state.params, vb, shot_num)
-            v_err += float(jnp.sum(em["err"][:true_n]))
-            v_sq += float(jnp.sum(em["sq_err"][:true_n]))
-            v_nae += float(jnp.sum(em["nae"][:true_n]))
-            v_n += true_n
+            v_err += float(em["err_sum"])
+            v_sq += float(em["sq_sum"])
+            v_nae += float(em["nae_sum"])
+            v_n += int(em["n"])
 
         n = max(n_steps, 1)
         vn = max(v_n, 1)

@@ -100,7 +100,7 @@ def main(args):
     )
     from countr_tpu.models.mae import unpatchify
     from countr_tpu.parallel.mesh import (
-        batch_sharding, get_mesh, replicated_sharding,
+        batch_sharding, get_mesh, make_global_batch, replicated_sharding,
     )
 
     from countr_tpu.parallel.dist import init_distributed
@@ -117,10 +117,14 @@ def main(args):
                         config=vars(args))
 
     ds = PretrainDataset(meta, seed=args.seed)
+    # multi-host: global --batch_size, per-process slice loading (see
+    # finetune.py / parallel.mesh.make_global_batch)
+    n_proc = jax.process_count()
     dl = DataLoader(
         ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
         drop_last=True, seed=args.seed,
         use_processes=getattr(args, "use_processes", False),
+        process_index=jax.process_index(), process_count=n_proc,
     )
     steps_per_epoch = len(dl)
     if args.limit_steps:
@@ -162,7 +166,10 @@ def main(args):
         n_steps = 0
         for batch in device_prefetch(
             dl.epoch(epoch),
-            put=lambda b: jax.device_put(b["image"], bsh),
+            put=lambda b: (
+                make_global_batch(mesh, b["image"]) if n_proc > 1
+                else jax.device_put(b["image"], bsh)
+            ),
         ):
             if args.limit_steps and n_steps >= args.limit_steps:
                 break

@@ -31,6 +31,7 @@ from PIL import Image
 
 from countr_tpu.config import EXEMPLAR_SIZE, IMG_SIZE, MAX_SHOTS
 from countr_tpu.data import transforms as T
+from countr_tpu.data.imcache import ImageCache
 
 
 @dataclasses.dataclass
@@ -181,25 +182,41 @@ class ValDataset:
     def __init__(self, meta: FSC147Meta, split: str = "val"):
         self.meta = meta
         self.ids = meta.splits[split]
+        # val samples are fully deterministic -> cache whole samples
+        # (image as uint8) across the per-epoch val loops
+        self._cache = ImageCache()
 
     def __len__(self) -> int:
         return len(self.ids)
 
     def __getitem__(self, idx: int) -> Dict:
         im_id = self.ids[idx]
+        cached = self._cache.get(im_id)
+        if cached is not None:
+            u8, density, boxes, rects = cached
+            return {
+                "image": u8.astype(np.float32) / 255.0,
+                "gt_density": density,
+                "boxes": boxes,
+                "rects": rects,
+                "m_flag": 0,
+                "name": im_id,
+            }
         anno = self.meta.annotations[im_id]
         dots = np.asarray(anno["points"], np.float64).reshape(-1, 2)
         img = self.meta.open_image(im_id)
         w0, h0 = img.size
         nh = nw = IMG_SIZE
         sy, sx = nh / h0, nw / w0
-        image = T.pil_resize(img, nh, nw)
+        u8 = T.pil_resize_u8(img, nh, nw)
+        image = u8.astype(np.float32) / 255.0
         density = T.density_from_dots(
             np.stack([dots[:, 0] * sx, dots[:, 1] * sy], 1) if dots.size else dots,
             nh, nw, sigma=4.0, radius=7,
         )
         rects = T.scale_rects(anno["box_examples_coordinates"][:MAX_SHOTS], sy, sx)
         boxes = _pad_boxes(T.crop_exemplars(image, rects))
+        self._cache.put(im_id, (u8, density, boxes, rects))
         return {
             "image": image,
             "gt_density": density,
@@ -247,6 +264,8 @@ class TrainDataset:
         self.do_aug = do_aug
         self.seed = seed
         self.epoch = 0
+        # decode+resize are deterministic per image; epochs 2+ hit this
+        self._cache = ImageCache()
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -259,10 +278,16 @@ class TrainDataset:
     def _load_resized(self, im_id: str) -> Tuple[np.ndarray, np.ndarray, float, float, int, int]:
         anno = self.meta.annotations[im_id]
         dots = np.asarray(anno["points"], np.float64).reshape(-1, 2)
-        img = self.meta.open_image(im_id)
-        w0, h0 = img.size
+        cached = self._cache.get(im_id)
+        if cached is None:
+            img = self.meta.open_image(im_id)
+            w0, h0 = img.size
+            u8 = T.pil_resize_u8(img, *T.flex_size(h0, w0))
+            self._cache.put(im_id, (u8, h0, w0))
+        else:
+            u8, h0, w0 = cached
         nh, nw = T.flex_size(h0, w0)
-        image = T.pil_resize(img, nh, nw)
+        image = u8.astype(np.float32) / 255.0
         return image, dots, nh / h0, nw / w0, nh, nw
 
     @staticmethod
@@ -467,6 +492,8 @@ class PretrainDataset:
         self.ids = meta.splits[split]
         self.seed = seed
         self.epoch = 0
+        # the random crop samples the RAW image -> cache the decode
+        self._cache = ImageCache()
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -476,7 +503,12 @@ class PretrainDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         rng = _sample_rng(self.seed, self.epoch, idx)
-        img = self.meta.open_image(self.ids[idx])
+        cached = self._cache.get(self.ids[idx])
+        if cached is None:
+            img = self.meta.open_image(self.ids[idx])
+            self._cache.put(self.ids[idx], (np.asarray(img, np.uint8),))
+        else:
+            img = Image.fromarray(cached[0])
         w0, h0 = img.size
         # torchvision RandomResizedCrop sampling: 10 attempts of
         # (area-scale, log-ratio), fallback to center crop.

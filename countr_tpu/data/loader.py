@@ -70,11 +70,22 @@ class DataLoader:
         collate: Callable = default_collate,
         prefetch_batches: int = 2,
         use_processes: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         """use_processes: fetch samples in worker *processes* instead of
         threads — sidesteps the GIL for the Python parts of heavy
         augmentation on many-core training hosts (the dataset must be
-        picklable; ours are plain dataclass/dict state)."""
+        picklable; ours are plain dataclass/dict state).
+
+        process_index/process_count: multi-host sharding. batch_size is
+        the GLOBAL batch; every process computes the same seeded
+        permutation and loads only its contiguous
+        batch_size/process_count slice of each batch (slice p feeds the
+        mesh devices process p addresses — see
+        parallel.mesh.make_global_batch). Requires batch_size %
+        process_count == 0; a final partial batch is dropped when it
+        cannot be split evenly (train loaders use drop_last anyway)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -84,6 +95,13 @@ class DataLoader:
         self.collate = collate
         self.prefetch_batches = prefetch_batches
         self.use_processes = use_processes
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} not divisible by "
+                f"process_count {process_count}"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -106,6 +124,15 @@ class DataLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.process_count > 1:
+            # keep this process's contiguous slice of each global batch
+            sliced = []
+            for idxs in batches:
+                if len(idxs) % self.process_count:
+                    continue  # final ragged batch not splittable evenly
+                k = len(idxs) // self.process_count
+                sliced.append(idxs[self.process_index * k : (self.process_index + 1) * k])
+            batches = sliced
 
         if self.use_processes:
             pool = ProcessPoolExecutor(

@@ -161,8 +161,13 @@ def make_finetune_step(
 
 
 def make_eval_step(model: CounTR):
-    """jitted eval(params, batch, shot_num) -> per-sample count errors
-    (reference val loop: FSC_finetune_cross.py:328-350)."""
+    """jitted eval(params, batch, shot_num) -> masked error SUMS
+    (reference val loop: FSC_finetune_cross.py:328-350).
+
+    batch["valid"] masks padding samples. Sums over the (batch-sharded)
+    per-sample errors come back replicated — reading them is the
+    metric all-reduce, which also makes this correct on multi-host
+    meshes where per-sample entries would not be addressable."""
 
     def eval_fn(params, batch, shot_num: int):
         out = model.apply({"params": params}, batch["image"], batch["boxes"], shot_num)
@@ -170,7 +175,13 @@ def make_eval_step(model: CounTR):
         gt_cnt = jnp.sum(batch["gt_density"].astype(jnp.float32), axis=(1, 2)) / DENSITY_SCALE
         err = jnp.abs(pred_cnt - gt_cnt)
         nae = jnp.where(gt_cnt > 0, err / jnp.maximum(gt_cnt, 1e-9), 0.0)
-        return {"err": err, "sq_err": jnp.square(err), "nae": nae}
+        v = batch["valid"].astype(jnp.float32)
+        return {
+            "err_sum": jnp.sum(err * v),
+            "sq_sum": jnp.sum(jnp.square(err) * v),
+            "nae_sum": jnp.sum(nae * v),
+            "n": jnp.sum(v),
+        }
 
     return jax.jit(eval_fn, static_argnums=(2,))
 

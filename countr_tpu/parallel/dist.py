@@ -9,10 +9,11 @@ automatically; on other launchers the standard JAX env vars
 honored. Gradient/metric all-reduce needs no backend — it is part of
 the jitted step (see countr_tpu.parallel.mesh).
 
-Known limitation: the host data loaders currently build the full
-global batch in every process (single-host assumption, like the
-reference's single-node runs); per-process dataset sharding for
-multi-host pods is future work.
+Multi-host data loading: DataLoader(process_index, process_count)
+loads only this process's slice of each global batch and
+mesh.make_global_batch stitches the slices into one global jax.Array
+(no cross-host data movement); the train CLIs wire this automatically
+from jax.process_index()/process_count().
 """
 
 from __future__ import annotations

@@ -49,6 +49,39 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def make_global_batch(mesh: Mesh, local_batch):
+    """Assemble a globally-sharded batch from per-process local arrays.
+
+    Multi-host data loading: each process loads only its
+    1/process_count slice of the global batch (data.loader.DataLoader
+    process_index/process_count), and this stitches the slices into one
+    global jax.Array without any cross-host data movement — each
+    process's samples land on the devices it addresses. The reference
+    gets the same effect from DistributedSampler + DDP (reference:
+    FSC_finetune_cross.py:178-210, :229-231). Single-process this is
+    equivalent to shard_batch.
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch,
+    )
+
+
+def global_any(flags) -> bool:
+    """True if any process's local boolean is set — used to apply the
+    reference's batch-level m_flag rule (no shot_num=0 when any sample
+    in the *global* batch used a Type-2 mosaic; reference:
+    FSC_finetune_cross.py:277-284) consistently across hosts, so every
+    process draws the same static shot_num."""
+    local = bool(np.asarray(flags).any())
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.process_allgather(np.asarray([local])).any())
+
+
 def is_main_process() -> bool:
     """Rank-0 check (reference: util/misc.py:211-222 is_main_process)."""
     return jax.process_index() == 0
