@@ -386,7 +386,7 @@ class TrainDataset:
             mosaic = rng.random() < 0.25
             # photometric + geometric aug on a working copy
             work = T.gaussian_noise(rng, image)
-            work = T.color_jitter(rng, work)
+            work = T.color_jitter(rng, work, copy=False)  # work is scratch
             work = T.gaussian_blur(rng, work)
             kps = self._scaled_dots(dots, sy, sx, nh, nw).astype(np.float64)
             work, warped, in_bounds = T.random_affine(rng, work, kps)

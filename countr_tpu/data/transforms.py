@@ -113,6 +113,17 @@ def density_from_dots(
 
 
 def smooth_density(dmap: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """gaussian_filter for (usually sparse) dot maps. Dot maps have
+    O(count) nonzeros — possibly fractional after mosaic seam blending —
+    so the native path splats them in O(nnz*r^2) instead of filtering
+    the full image."""
+    if native.lib() is not None:
+        h, w = dmap.shape
+        ys, xs = np.nonzero(dmap)
+        if ys.size <= (h * w) // 16:  # dense maps: scipy wins
+            return native.splat_weighted(
+                ys, xs, dmap[ys, xs], h, w, sigma, None, 1.0
+            )
     return ndimage.gaussian_filter(dmap, sigma=sigma, order=0)
 
 
@@ -189,17 +200,19 @@ def color_jitter(
     contrast: float = 0.15,
     saturation: float = 0.15,
     hue: float = 0.15,
+    copy: bool = True,
 ) -> np.ndarray:
     """torchvision ColorJitter semantics: each factor uniform around 1
     (hue in +-hue), applied in random order (reference:
-    util/FSC147.py:371-374)."""
+    util/FSC147.py:371-374). copy=False lets the native path mutate a
+    caller-owned scratch image in place."""
     ops = list(range(4))
     rng.shuffle(ops)
     if native.lib() is not None:
         # same rng draws, fused in-place native kernels (one pass per
         # op, no full-image temporaries / HSV round trips)
         out = np.ascontiguousarray(img, np.float32)
-        if out is img:
+        if out is img and copy:
             out = img.copy()
         for op in ops:
             if op == 0:

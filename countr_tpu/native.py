@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-_ABI_VERSION = 1
+_ABI_VERSION = 2
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO_ROOT, "native", "src", "host_ops.cpp")
@@ -60,6 +60,11 @@ def _bind(so: ctypes.CDLL) -> ctypes.CDLL:
     so.ct_blend_gray.argtypes = [f32p, ctypes.c_int64, ctypes.c_float]
     so.ct_density_splat.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.c_float, f32p,
+    ]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    so.ct_splat_weighted.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.c_int, ctypes.c_float, f32p,
     ]
     return so
@@ -110,6 +115,23 @@ def gray_mean(img: np.ndarray) -> float:
 
 def blend_gray(img: np.ndarray, factor: float) -> None:
     lib().ct_blend_gray(_ptr(img), img.size // 3, factor)
+
+
+def splat_weighted(
+    ys: np.ndarray, xs: np.ndarray, vals: np.ndarray, h: int, w: int,
+    sigma: float, radius: Optional[int], scale: float,
+) -> np.ndarray:
+    out = np.empty((h, w), np.float32)
+    ys = np.ascontiguousarray(ys, np.int32)
+    xs = np.ascontiguousarray(xs, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    lib().ct_splat_weighted(
+        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _ptr(vals), ys.shape[0], h, w, sigma,
+        -1 if radius is None else int(radius), scale, _ptr(out),
+    )
+    return out
 
 
 def density_splat(

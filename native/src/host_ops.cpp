@@ -226,7 +226,41 @@ void ct_density_splat(const float* pts_xy, int64_t npts, int h, int w,
   }
 }
 
+// Weighted variant: out = gaussian_filter(sparse map, mode='reflect')
+// * scale where the map's nonzeros are (ys[i], xs[i]) -> vals[i].
+// Used to smooth post-crop/mosaic dot maps whose entries can be
+// fractional after seam blending (transforms.smooth_density fast path;
+// reference: util/FSC147.py:274-279). No dedupe — values accumulate
+// like the dense filter would.
+void ct_splat_weighted(const int32_t* ys, const int32_t* xs,
+                       const float* vals, int64_t n, int h, int w,
+                       float sigma, int radius, float scale, float* out) {
+  std::memset(out, 0, sizeof(float) * size_t(h) * size_t(w));
+  if (n <= 0) return;
+  int r = radius >= 0 ? radius : int(4.0 * double(sigma) + 0.5);
+  std::vector<double> k(2 * r + 1);
+  double ksum = 0.0;
+  for (int i = -r; i <= r; ++i) {
+    double v = std::exp(-0.5 * double(i) * double(i) / (double(sigma) * double(sigma)));
+    k[i + r] = v;
+    ksum += v;
+  }
+  for (auto& v : k) v /= ksum;
+  for (int64_t p = 0; p < n; ++p) {
+    int y = ys[p], x = xs[p];
+    double vw = double(vals[p]) * double(scale);
+    for (int dy = -r; dy <= r; ++dy) {
+      int yy = reflect(y + dy, h);
+      double ky = k[dy + r] * vw;
+      for (int dx = -r; dx <= r; ++dx) {
+        int xx = reflect(x + dx, w);
+        out[size_t(yy) * size_t(w) + size_t(xx)] += float(ky * k[dx + r]);
+      }
+    }
+  }
+}
+
 // ABI version for the ctypes loader to sanity-check.
-int ct_abi_version() { return 1; }
+int ct_abi_version() { return 2; }
 
 }  // extern "C"

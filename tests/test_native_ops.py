@@ -56,6 +56,34 @@ def test_density_splat_border_and_empty():
     assert empty.shape == (48, 64) and empty.sum() == 0.0
 
 
+def test_splat_weighted_matches_scipy_on_fractional_maps():
+    # mosaic seam blending leaves fractional dot values; smoothing the
+    # sparse map must equal the dense filter
+    rng = _rng(8)
+    dmap = np.zeros((96, 128), np.float32)
+    ys = rng.integers(0, 96, 60)
+    xs = rng.integers(0, 128, 60)
+    dmap[ys, xs] = rng.uniform(0.2, 1.0, 60).astype(np.float32)
+    ref = ndimage.gaussian_filter(dmap, sigma=1.0, order=0)
+    got = T.smooth_density(dmap, sigma=1.0)
+    np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+def test_smooth_density_dense_falls_back():
+    dmap = _rng(9).uniform(0, 1, (32, 32)).astype(np.float32)  # fully dense
+    ref = ndimage.gaussian_filter(dmap, sigma=1.0, order=0)
+    np.testing.assert_allclose(T.smooth_density(dmap, 1.0), ref, atol=5e-6)
+
+
+def test_color_jitter_copy_false_mutates_scratch():
+    img = _rng(10).uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    scratch = img.copy()
+    out = T.color_jitter(np.random.default_rng(3), scratch, copy=False)
+    ref = T.color_jitter(np.random.default_rng(3), img)  # copies
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    np.testing.assert_array_equal(img, img)  # original untouched
+
+
 def test_density_from_dots_dispatch():
     # the public entry returns native results == scipy fallback
     pts = _rng(2).uniform(2, 40, (30, 2))
