@@ -303,6 +303,11 @@ def main(args):
                     os.path.join(outdir, "ckpt_minMAE"), epoch, host_state,
                     keep=1,
                 )
+                # reference uploads the best checkpoint as a W&B
+                # artifact (util/misc.py:331-335)
+                wandb.log_artifact(
+                    os.path.join(outdir, "ckpt_minMAE"), "finetuning_minMAE"
+                )
     tb.flush()
 
 

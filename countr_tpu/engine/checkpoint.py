@@ -280,17 +280,39 @@ def save_torch_checkpoint(path: str, state_dict: Mapping[str, np.ndarray]) -> No
     )
 
 
+def _fetch_if_url(path: str) -> str:
+    """Download http(s):// / file:// checkpoint URLs to a local cache
+    (reference: util/misc.py:340-342 loads 'https' resume paths via
+    torch.hub). Local paths pass through untouched."""
+    if not path.startswith(("http://", "https://", "file://")):
+        return path
+    import hashlib
+    import os
+    import urllib.request
+
+    cache = os.path.expanduser("~/.cache/countr_tpu/ckpts")
+    os.makedirs(cache, exist_ok=True)
+    name = hashlib.sha1(path.encode()).hexdigest()[:16] + "_" + os.path.basename(path)
+    dest = os.path.join(cache, name)
+    if not os.path.exists(dest):
+        tmp = dest + ".part"
+        urllib.request.urlretrieve(path, tmp)
+        os.replace(tmp, dest)
+    return dest
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference .pth and return its model state_dict as numpy.
 
     Handles both the full training checkpoint format
     ({'model': ..., 'optimizer': ...}, reference: util/misc.py:311-318)
-    and a bare state_dict. torch is imported lazily — it is only needed
-    for this one-way import path.
+    and a bare state_dict; URL paths are fetched to a local cache
+    first. torch is imported lazily — it is only needed for this
+    one-way import path.
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = torch.load(_fetch_if_url(path), map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
     return _to_numpy_sd(sd)
 

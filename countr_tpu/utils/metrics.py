@@ -141,6 +141,25 @@ class WandbWriter:
         if self._run is not None:
             self._run.log(record, step=step)
 
+    def log_artifact(self, path: str, name: str, kind: str = "model"):
+        """Upload a checkpoint directory/file as a W&B artifact
+        (reference: util/misc.py:331-335 save_model artifact upload)."""
+        if self._run is None:
+            return
+        try:
+            import os
+
+            import wandb  # type: ignore
+
+            art = wandb.Artifact(name, type=kind)
+            if os.path.isdir(path):
+                art.add_dir(path)
+            else:
+                art.add_file(path)
+            self._run.log_artifact(art)
+        except Exception:
+            pass
+
     def finish(self):
         if self._run is not None:
             self._run.finish()

@@ -74,3 +74,20 @@ def test_pth_save_load_roundtrip(rng, tmp_path):
     a = params["params"]["decoder_blocks_0"]["attn"]["wq"]["kernel"]
     b = params2["params"]["decoder_blocks_0"]["attn"]["wq"]["kernel"]
     np.testing.assert_array_equal(a, b)
+
+
+def test_pth_load_from_url(rng, tmp_path):
+    # file:// exercises the URL fetch-and-cache path used for the
+    # reference's https checkpoint URLs (util/misc.py:340-342)
+    from countr_tpu.engine.checkpoint import _fetch_if_url
+
+    sd = make_countr_state_dict(rng, embed_dim=64, depth=1, dec_dim=32, dec_depth=1)
+    params = convert_countr_state_dict(sd, depth=1, decoder_depth=1)
+    path = str(tmp_path / "url_export.pth")
+    save_torch_checkpoint(path, export_countr_state_dict(params, grid=4))
+    url = "file://" + path
+    loaded = load_torch_checkpoint(url)
+    assert "shot_token" in loaded
+    cached = _fetch_if_url(url)
+    assert cached != path and _fetch_if_url(url) == cached  # cache hit
+    assert _fetch_if_url(path) == path  # local passthrough
