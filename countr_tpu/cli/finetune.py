@@ -92,15 +92,23 @@ def main(args):
     from countr_tpu.parallel.dist import init_distributed
 
     init_distributed()
+    from countr_tpu.parallel.mesh import is_main_process
+
+    # rank-0-only side effects (checkpoints / TB / JSONL / W&B), like
+    # the reference's is_main_process gating (util/misc.py:211-222,
+    # :304-335)
+    main_proc = is_main_process()
     meta = common.load_meta(args)
     model, params = common.build_counting_model(args)
-    outdir = common.ensure_outdir(args)
-    tb = TBWriter(os.path.join(outdir, "tb") if outdir else None)
-    jsonl = JsonlLogger(outdir)
+    outdir = common.ensure_outdir(args) if main_proc else (args.output_dir or "")
+    tb = TBWriter(os.path.join(outdir, "tb") if (outdir and main_proc) else None)
+    jsonl = JsonlLogger(outdir if main_proc else None)
     from countr_tpu.utils.metrics import WandbWriter
 
-    wandb = WandbWriter(getattr(args, "wandb_project", "") or None,
-                        config=vars(args))
+    wandb = WandbWriter(
+        (getattr(args, "wandb_project", "") or None) if main_proc else None,
+        config=vars(args),
+    )
 
     if args.init_from_mae:
         if args.init_from_mae.endswith(".pth"):
@@ -232,10 +240,13 @@ def main(args):
         v_err, v_sq, v_nae, v_n = 0.0, 0.0, 0.0, 0
         for batch in val_dl.epoch(0):
             true_n = batch["image"].shape[0]
-            # pad the ragged tail up to the device multiple; the valid
-            # mask zeroes the padding inside the jitted sums (multi-host
-            # loaders yield even batches, so pad=0 there)
-            pad = (-true_n) % (n_dev if n_proc == 1 else 1)
+            # pad the ragged tail up to the per-process device multiple
+            # (n_dev/n_proc local devices each hold one shard of the
+            # global batch); the valid mask zeroes the padding inside
+            # the jitted sums. A tail not divisible by n_proc is
+            # dropped by the loader (documented there), like the
+            # reference's DistributedSampler rounding.
+            pad = (-true_n) % max(1, n_dev // n_proc)
             vb = {}
             for k in ("image", "gt_density", "boxes"):
                 arr = batch[k]
@@ -270,12 +281,13 @@ def main(args):
             "lr": float(sched(epoch * steps_per_epoch)),
             "epoch_time_s": time.time() - t0,
         }
-        print(
-            f"[Epoch {epoch}] loss {stats['train/loss']:.4f} "
-            f"train MAE {stats['train/MAE']:.2f} val MAE {val_mae:.2f} "
-            f"val RMSE {stats['val/RMSE']:.2f} ({stats['epoch_time_s']:.1f}s)",
-            flush=True,
-        )
+        if main_proc:
+            print(
+                f"[Epoch {epoch}] loss {stats['train/loss']:.4f} "
+                f"train MAE {stats['train/MAE']:.2f} val MAE {val_mae:.2f} "
+                f"val RMSE {stats['val/RMSE']:.2f} ({stats['epoch_time_s']:.1f}s)",
+                flush=True,
+            )
         jsonl.write(stats)
         wandb.log(stats, step=epoch)
         for k, v in stats.items():
@@ -285,9 +297,10 @@ def main(args):
         if panel_every and epoch % panel_every == 0:
             _log_val_panels(tb, model, state, val_ds, epoch)
 
-        if outdir:
+        if outdir and main_proc:
             # periodic / last / min-MAE checkpoints (reference:
-            # FSC_finetune_cross.py:407-420)
+            # FSC_finetune_cross.py:407-420); rank-0 writes, state is
+            # replicated
             host_state = jax.device_get(state)
             if args.ckpt_every and epoch % args.ckpt_every == 0 and epoch != 0:
                 ckpt.save_checkpoint(

@@ -106,15 +106,21 @@ def main(args):
     from countr_tpu.parallel.dist import init_distributed
 
     init_distributed()
+    from countr_tpu.parallel.mesh import is_main_process
+
+    # rank-0-only side effects (reference: util/misc.py:211-222)
+    main_proc = is_main_process()
     meta = common.load_meta(args)
     model, params = build_mae_model(args)
-    outdir = common.ensure_outdir(args)
-    tb = TBWriter(os.path.join(outdir, "tb") if outdir else None)
-    jsonl = JsonlLogger(outdir)
+    outdir = common.ensure_outdir(args) if main_proc else (args.output_dir or "")
+    tb = TBWriter(os.path.join(outdir, "tb") if (outdir and main_proc) else None)
+    jsonl = JsonlLogger(outdir if main_proc else None)
     from countr_tpu.utils.metrics import WandbWriter
 
-    wandb = WandbWriter(getattr(args, "wandb_project", "") or None,
-                        config=vars(args))
+    wandb = WandbWriter(
+        (getattr(args, "wandb_project", "") or None) if main_proc else None,
+        config=vars(args),
+    )
 
     ds = PretrainDataset(meta, seed=args.seed)
     # multi-host: global --batch_size, per-process slice loading (see
@@ -193,16 +199,17 @@ def main(args):
             "lr": float(sched(epoch * steps_per_epoch)),
             "epoch_time_s": time.time() - t0,
         }
-        print(
-            f"[Epoch {epoch}] loss {stats['train/loss']:.4f} "
-            f"lr {stats['lr']:.2e} ({stats['epoch_time_s']:.1f}s)",
-            flush=True,
-        )
+        if main_proc:
+            print(
+                f"[Epoch {epoch}] loss {stats['train/loss']:.4f} "
+                f"lr {stats['lr']:.2e} ({stats['epoch_time_s']:.1f}s)",
+                flush=True,
+            )
         jsonl.write(stats)
         tb.scalar("train/loss", stats["train/loss"], epoch)
         wandb.log(stats, step=epoch)
 
-        if outdir and (
+        if outdir and main_proc and (
             (args.ckpt_every and (epoch + 1) % args.ckpt_every == 0)
             or epoch + 1 == args.epochs
         ):
@@ -210,7 +217,7 @@ def main(args):
                 os.path.join(outdir, "ckpt_periodic"), epoch,
                 jax.device_get(state), keep=5,
             )
-        if outdir:
+        if outdir and main_proc:
             ckpt.save_checkpoint(
                 os.path.join(outdir, "ckpt_last"), epoch,
                 jax.device_get(state), keep=1,

@@ -347,13 +347,8 @@ class TrainDataset:
                     t_sy, t_sx, t_nh, t_nw = sy, sx, nh, nw
                 else:
                     t_id = self.ids[int(rng.integers(0, len(self.ids)))]
-                    t_anno = self.meta.annotations[t_id]
-                    t_dots = np.asarray(t_anno["points"], np.float64).reshape(-1, 2)
-                    pil = self.meta.open_image(t_id)
-                    tw0, th0 = pil.size
-                    t_nh, t_nw = T.flex_size(th0, tw0)
-                    t_sy, t_sx = t_nh / th0, t_nw / tw0
-                    t_img = T.pil_resize(pil, t_nh, t_nw)
+                    # cached decode+resize (same path as the main image)
+                    t_img, t_dots, t_sy, t_sx, t_nh, t_nw = self._load_resized(t_id)
                 length = int(rng.integers(250, 385))
                 left = int(rng.integers(0, t_nw - length + 1))
                 top = int(rng.integers(0, t_nh - length + 1))

@@ -102,6 +102,30 @@ class DataLoader:
             )
         self.process_index = process_index
         self.process_count = process_count
+        self._pool = None  # persists across epochs (keeps worker-side
+        # state — e.g. the decoded-image cache — warm)
+
+    def _get_pool(self):
+        if self._pool is None:
+            if self.use_processes:
+                self._pool = ProcessPoolExecutor(
+                    self.num_workers, initializer=_proc_init,
+                    initargs=(pickle.dumps(self.dataset),),
+                )
+            else:
+                self._pool = ThreadPoolExecutor(self.num_workers)
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -134,37 +158,30 @@ class DataLoader:
                 sliced.append(idxs[self.process_index * k : (self.process_index + 1) * k])
             batches = sliced
 
+        pool = self._get_pool()
         if self.use_processes:
-            pool = ProcessPoolExecutor(
-                self.num_workers, initializer=_proc_init,
-                initargs=(pickle.dumps(self.dataset),),
-            )
             submit = lambda i: pool.submit(_proc_fetch, (epoch, int(i)))  # noqa: E731
         else:
-            pool = ThreadPoolExecutor(self.num_workers)
             submit = lambda i: pool.submit(self.dataset.__getitem__, int(i))  # noqa: E731
 
-        try:
-            pending: "queue.Queue" = queue.Queue()
-            it = iter(batches)
+        pending: "queue.Queue" = queue.Queue()
+        it = iter(batches)
 
-            def submit_next() -> bool:
-                try:
-                    idxs = next(it)
-                except StopIteration:
-                    return False
-                pending.put([submit(i) for i in idxs])
-                return True
+        def submit_next() -> bool:
+            try:
+                idxs = next(it)
+            except StopIteration:
+                return False
+            pending.put([submit(i) for i in idxs])
+            return True
 
-            for _ in range(self.prefetch_batches):
-                if not submit_next():
-                    break
-            while not pending.empty():
-                futs = pending.get()
-                submit_next()
-                yield self.collate([f.result() for f in futs])
-        finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+        for _ in range(self.prefetch_batches):
+            if not submit_next():
+                break
+        while not pending.empty():
+            futs = pending.get()
+            submit_next()
+            yield self.collate([f.result() for f in futs])
 
 
 def device_prefetch(it: Iterator[Dict], put: Optional[Callable] = None, depth: int = 2):

@@ -295,9 +295,19 @@ def _fetch_if_url(path: str) -> str:
     name = hashlib.sha1(path.encode()).hexdigest()[:16] + "_" + os.path.basename(path)
     dest = os.path.join(cache, name)
     if not os.path.exists(dest):
-        tmp = dest + ".part"
-        urllib.request.urlretrieve(path, tmp)
-        os.replace(tmp, dest)
+        import tempfile
+
+        # unique temp per process: concurrent fetchers (multi-host
+        # startup on a shared cache) each download whole, last replace
+        # wins atomically
+        fd, tmp = tempfile.mkstemp(dir=cache, suffix=".part")
+        os.close(fd)
+        try:
+            urllib.request.urlretrieve(path, tmp)
+            os.replace(tmp, dest)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return dest
 
 

@@ -124,11 +124,13 @@ inline float zig_normal(G& g, const Ziggurat& z) {
 }
 
 // Half-sample-symmetric reflection ((d c b a | a b c d | d c b a)) —
-// scipy.ndimage's default 'reflect' boundary. One fold is enough:
-// callers guarantee radius < extent.
+// scipy.ndimage's default 'reflect' boundary. Folds repeatedly so any
+// radius (even >= the extent) stays in bounds, matching scipy.
 inline int reflect(int idx, int n) {
-  if (idx < 0) return -idx - 1;
-  if (idx >= n) return 2 * n - idx - 1;
+  while (idx < 0 || idx >= n) {
+    if (idx < 0) idx = -idx - 1;
+    if (idx >= n) idx = 2 * n - idx - 1;
+  }
   return idx;
 }
 

@@ -80,6 +80,19 @@ def test_make_global_batch_matches_shard_batch():
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
 
 
+def test_worker_pool_persists_across_epochs():
+    # per-epoch pools would throw away worker-side caches; the pool
+    # must be created once and reused
+    dl = DataLoader(IdxDataset(8), 4, num_workers=2)
+    list(dl.epoch(0))
+    pool0 = dl._pool
+    assert pool0 is not None
+    list(dl.epoch(1))
+    assert dl._pool is pool0
+    dl.close()
+    assert dl._pool is None
+
+
 def test_global_any_single_process():
     assert global_any(np.array([0, 0, 1], np.int32)) is True
     assert global_any(np.array([0, 0, 0], np.int32)) is False

@@ -46,6 +46,17 @@ def test_density_splat_matches_scipy(h, w, sigma, radius):
     assert got.sum() == pytest.approx(ref.sum(), abs=1e-3)
 
 
+@pytest.mark.parametrize("h,w,sigma", [(8, 8, 4.0), (6, 10, 3.0), (12, 5, 5.0)])
+def test_density_splat_radius_exceeds_extent(h, w, sigma):
+    # radius >= image extent exercises the multi-fold reflect boundary;
+    # must still match scipy (and must not write out of bounds)
+    rng = _rng(20)
+    pts = np.stack([rng.uniform(0, w - 0.6, 9), rng.uniform(0, h - 0.6, 9)], 1)
+    ref = ndimage.gaussian_filter(T.dot_map(pts, h, w), sigma=sigma, order=0) * 60.0
+    got = native.density_splat(pts.astype(np.float32), h, w, sigma, None, 60.0)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_density_splat_border_and_empty():
     # corner dots exercise the reflect boundary on both axes
     pts = np.array([[0.2, 0.1], [63.9, 47.9], [0.0, 47.0], [63.0, 0.0]], np.float32)
@@ -77,11 +88,23 @@ def test_smooth_density_dense_falls_back():
 
 def test_color_jitter_copy_false_mutates_scratch():
     img = _rng(10).uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    # find a seed whose shuffled op order does NOT start with hue (3):
+    # until the hue op replaces the buffer, the blend ops must have
+    # mutated the scratch array in place
+    def first_op(s):
+        ops = list(range(4))
+        np.random.default_rng(s).shuffle(ops)
+        return ops[0]
+
+    seed = next(s for s in range(100) if first_op(s) != 3)
     scratch = img.copy()
-    out = T.color_jitter(np.random.default_rng(3), scratch, copy=False)
-    ref = T.color_jitter(np.random.default_rng(3), img)  # copies
+    out = T.color_jitter(np.random.default_rng(seed), scratch, copy=False)
+    ref = T.color_jitter(np.random.default_rng(seed), img)  # copies
     np.testing.assert_allclose(out, ref, atol=1e-6)
-    np.testing.assert_array_equal(img, img)  # original untouched
+    assert np.abs(scratch - img).max() > 0  # scratch WAS written in place
+    # and the copying default left the original untouched... by copying
+    ref2 = T.color_jitter(np.random.default_rng(seed), img.copy())
+    np.testing.assert_allclose(ref, ref2, atol=0)
 
 
 def test_density_from_dots_dispatch():
