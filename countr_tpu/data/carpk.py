@@ -101,7 +101,8 @@ def carpk_train_sample(rng: np.random.Generator, sample: Dict) -> Dict:
     density from box centers with x<720, both axes scaled by 384/720,
     sigma=1 gaussian, x60. shot_num is 1 and the loss is unmasked."""
     import cv2
-    from scipy import ndimage
+
+    from countr_tpu.data import transforms as T
 
     image_f = sample["image"].astype(np.float32) / 255.0
     boxes = sample["boxes_xywh"]
@@ -116,7 +117,8 @@ def carpk_train_sample(rng: np.random.Generator, sample: Dict) -> Dict:
         cx, cy = int(x + w / 2), int(y + h / 2)
         if cx < 720:
             density[int(cy * 384 / 720), int(cx * 384 / 720)] = 1.0
-    density = ndimage.gaussian_filter(density, sigma=1.0, order=0) * 60.0
+    # sparse native splat == gaussian_filter (transforms.smooth_density)
+    density = T.smooth_density(density, sigma=1.0) * 60.0
 
     return {
         "image": np.ascontiguousarray(image, np.float32),
