@@ -447,3 +447,45 @@ class CountingEngine:
             results[i] = CountResult(
                 pred, den, grid_flags[i], e_cnt, raw, n_win
             )
+
+
+def count_image(
+    engine: CountingEngine,
+    image,
+    boxes_xyxy: Sequence[Sequence[float]] = (),
+) -> CountResult:
+    """One-call counting of a RAW image (the library equivalent of the
+    reference demos' load_image + run_one_image, reference:
+    demo.py:34-189, demo_zero.py:41-88).
+
+    image: PIL.Image, path string, or HWC uint8/float array at any
+    resolution. boxes_xyxy: exemplar boxes (x1, y1, x2, y2) in ORIGINAL
+    image pixels; empty = zero-shot. Applies the test-pipeline geometry
+    (H=384, W snapped to a multiple of 16), crops exemplars, and runs
+    the batched sliding-window engine with TTN/grid-mode per the engine
+    settings.
+    """
+    from PIL import Image as PILImage
+
+    if isinstance(image, str):
+        image = PILImage.open(image)
+    if isinstance(image, np.ndarray):
+        arr = image
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+        image = PILImage.fromarray(arr)
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+
+    from countr_tpu.data import transforms as T
+
+    w0, h0 = image.size
+    nh, nw = T.test_size(h0, w0)
+    sy, sx = nh / h0, nw / w0
+    resized = T.pil_resize(image, nh, nw)
+    rects = [
+        [int(y1 * sy), int(x1 * sx), int(y2 * sy), int(x2 * sx)]
+        for (x1, y1, x2, y2) in boxes_xyxy
+    ]
+    boxes = T.crop_exemplars(resized, rects, max_boxes=len(rects)) if rects else None
+    return engine.count(resized, boxes, rects, shot_num=len(rects))

@@ -120,3 +120,32 @@ def test_engine_narrow_image(rng, setup):
     strict = CountingEngine(model, params, batch_windows=4, narrow_policy="reference")
     res_ref = strict.count(image, None, [], shot_num=0)
     assert res_ref.count == 0.0 and res_ref.n_windows == 0
+
+
+def test_count_image_raw_api(rng, setup):
+    """count_image: raw PIL/array + original-pixel boxes -> same result
+    as manual test-pipeline preprocessing + engine.count."""
+    from PIL import Image
+
+    from countr_tpu import count_image
+    from countr_tpu.data import transforms as T
+
+    model, params, engine = setup
+    raw = (rng.uniform(0, 255, (500, 700, 3))).astype(np.uint8)
+    boxes_xyxy = [(50, 60, 120, 140), (200, 210, 260, 280), (300, 50, 360, 120)]
+
+    res = count_image(engine, Image.fromarray(raw), boxes_xyxy)
+
+    nh, nw = T.test_size(500, 700)
+    sy, sx = nh / 500, nw / 700
+    resized = T.pil_resize(Image.fromarray(raw), nh, nw)
+    rects = [
+        [int(y1 * sy), int(x1 * sx), int(y2 * sy), int(x2 * sx)]
+        for (x1, y1, x2, y2) in boxes_xyxy
+    ]
+    crops = T.crop_exemplars(resized, rects, max_boxes=3)
+    ref = engine.count(resized, crops, rects, shot_num=3)
+    assert res.count == pytest.approx(ref.count, abs=1e-5)
+    # path input and zero-shot array input also work
+    res0 = count_image(engine, raw)
+    assert np.isfinite(res0.count)
