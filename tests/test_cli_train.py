@@ -98,3 +98,31 @@ def test_cli_pretrain_one_epoch(fsc_dir, tmp_path):  # noqa: F811
     finetune.main(ft_args)
     rec2 = json.loads(open(os.path.join(ft_out, "log.txt")).read().splitlines()[-1])
     assert rec2["train/loss"] > 0
+
+
+def test_cli_finetune_nonmain_process_writes_nothing(
+    fsc_dir, tmp_path, monkeypatch  # noqa: F811
+):
+    """Non-rank-0 processes must produce no side effects (no log.txt,
+    no TB dir, no checkpoints) — multi-host discipline exercised by
+    faking is_main_process (a real 2-process mesh can't run in one
+    pytest process)."""
+    from countr_tpu.cli import finetune
+    from countr_tpu.parallel import mesh
+
+    monkeypatch.setattr(mesh, "is_main_process", lambda: False)
+    out = str(tmp_path / "ft_rank1")
+    args = argparse.Namespace(
+        data_path=fsc_dir, anno_file="annotation_FSC147_384.json",
+        data_split_file="Train_Test_Val_FSC_147.json",
+        im_dir="images_384_VarV2", class_file="ImageClasses_FSC147.txt",
+        output_dir=out, model="tiny384", resume="", dtype="fp32", seed=0,
+        batch_size=4, epochs=1, warmup_epochs=1, blr=2e-4, lr=None,
+        min_lr=0.0, weight_decay=0.05, accum_iter=1, no_aug=True,
+        num_workers=2, ckpt_every=0, do_resume=False, init_from_mae="",
+        limit_steps=1, n_devices=2,
+    )
+    finetune.main(args)
+    assert not os.path.exists(os.path.join(out, "log.txt"))
+    assert not os.path.exists(os.path.join(out, "ckpt_last"))
+    assert not os.path.exists(os.path.join(out, "tb"))
