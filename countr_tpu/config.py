@@ -59,9 +59,18 @@ class CounTRConfig:
     # Compute dtype for matmuls/convs; params stay fp32. fp32 gives
     # bit-parity with the reference test path; bf16 rides the MXU.
     dtype: jnp.dtype = jnp.float32
-    # Use the fused Pallas attention kernel on TPU for encoder
-    # self-attention (falls back to XLA attention elsewhere).
+    # Use the fused Pallas attention kernel on TPU for encoder and
+    # decoder self-attention (falls back to XLA attention elsewhere).
     use_pallas_attention: bool = False
+    # tanh-approximate GELU instead of exact erf. The approximation
+    # error (<3.2e-3 absolute) is below bf16 rounding (2^-8 relative),
+    # and erf costs ~2 ms/layer more on v5e (scripts/profile_encoder.py)
+    # — the bf16 fast mode turns this on; fp32 parity mode never does.
+    approx_gelu: bool = False
+    # Density-head compute dtype override (None = ``dtype``). The
+    # mixed-precision mode runs a bf16 encoder/decoder under an fp32
+    # head to cut bf16 count error (docs/PARITY.md).
+    head_dtype: Optional[jnp.dtype] = None
     # The reference always runs the encoder under torch.no_grad()
     # (reference: models_mae_cross.py:204-205), freezing it during
     # fine-tuning; stop_gradient reproduces that.
@@ -98,6 +107,7 @@ class MAEConfig:
     mask_ratio: float = 0.5  # reference: FSC_pretrain.py:45
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
+    approx_gelu: bool = False
 
     @property
     def grid_size(self) -> int:

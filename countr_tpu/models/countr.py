@@ -26,7 +26,9 @@ import jax.numpy as jnp
 
 from countr_tpu.config import CounTRConfig
 from countr_tpu.models.init import conv_bias_init, torch_conv_kernel, xavier_uniform
-from countr_tpu.ops.attention import matmul_precision, multi_head_attention
+from countr_tpu.ops.attention import (
+    cross_attention_smallk, matmul_precision, multi_head_attention,
+)
 from countr_tpu.ops.norms import group_norm, instance_norm
 from countr_tpu.ops.posembed import get_2d_sincos_pos_embed
 from countr_tpu.ops.upsample import upsample2x_bilinear
@@ -51,7 +53,10 @@ class CrossAttention(nn.Module):
         q = dense("wq")(x)
         k = dense("wk")(y)
         v = dense("wv")(y)
-        out = multi_head_attention(q, k, v, self.num_heads, precision=prec)
+        if y.shape[1] <= 8:
+            out = cross_attention_smallk(q, k, v, self.num_heads, precision=prec)
+        else:
+            out = multi_head_attention(q, k, v, self.num_heads, precision=prec)
         return dense("proj")(out)
 
 
@@ -64,19 +69,23 @@ class CrossAttentionBlock(nn.Module):
     mlp_ratio: float = 4.0
     ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    approx_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        x = x + SelfAttention(self.num_heads, dtype=self.dtype, name="selfattn")(
-            LayerNorm(self.ln_eps, self.dtype, name="norm0")(x)
-        )
+        x = x + SelfAttention(
+            self.num_heads, dtype=self.dtype, use_pallas=self.use_pallas,
+            name="selfattn",
+        )(LayerNorm(self.ln_eps, self.dtype, name="norm0")(x))
         x = x + CrossAttention(self.num_heads, dtype=self.dtype, name="attn")(
             LayerNorm(self.ln_eps, self.dtype, name="norm1")(x), y
         )
-        x = x + Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")(
-            LayerNorm(self.ln_eps, self.dtype, name="norm2")(x)
-        )
+        x = x + Mlp(
+            int(c * self.mlp_ratio), c, dtype=self.dtype,
+            approx_gelu=self.approx_gelu, name="mlp",
+        )(LayerNorm(self.ln_eps, self.dtype, name="norm2")(x))
         return x
 
 
@@ -157,7 +166,8 @@ class CounTR(nn.Module):
         self.blocks = [
             Block(
                 cfg.num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
-                use_pallas=cfg.use_pallas_attention, name=f"blocks_{i}",
+                use_pallas=cfg.use_pallas_attention,
+                approx_gelu=cfg.approx_gelu, name=f"blocks_{i}",
             )
             for i in range(cfg.depth)
         ]
@@ -179,12 +189,15 @@ class CounTR(nn.Module):
         self.decoder_blocks = [
             CrossAttentionBlock(
                 cfg.decoder_num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
-                name=f"decoder_blocks_{i}",
+                use_pallas=cfg.use_pallas_attention,
+                approx_gelu=cfg.approx_gelu, name=f"decoder_blocks_{i}",
             )
             for i in range(cfg.decoder_depth)
         ]
         self.decoder_norm = LayerNorm(cfg.ln_eps, cfg.dtype, name="decoder_norm")
-        self.density_head = DensityHead(cfg.dtype, name="density_head")
+        self.density_head = DensityHead(
+            cfg.head_dtype or cfg.dtype, name="density_head"
+        )
         # Fixed (non-learned) sin-cos position embeddings
         # (reference: models_mae_cross.py:30,42,111-115).
         self.pos_embed = jnp.asarray(

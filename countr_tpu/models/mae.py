@@ -77,7 +77,8 @@ class MaskedAutoencoderViT(nn.Module):
         self.blocks = [
             Block(
                 cfg.num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
-                use_pallas=cfg.use_pallas_attention, name=f"blocks_{i}",
+                use_pallas=cfg.use_pallas_attention,
+                approx_gelu=cfg.approx_gelu, name=f"blocks_{i}",
             )
             for i in range(cfg.depth)
         ]
@@ -96,7 +97,8 @@ class MaskedAutoencoderViT(nn.Module):
         self.decoder_blocks = [
             Block(
                 cfg.decoder_num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
-                name=f"decoder_blocks_{i}",
+                use_pallas=cfg.use_pallas_attention,
+                approx_gelu=cfg.approx_gelu, name=f"decoder_blocks_{i}",
             )
             for i in range(cfg.decoder_depth)
         ]

@@ -70,3 +70,43 @@ def multi_head_attention(
         precision=precision,
     )
     return out.transpose(0, 2, 1, 3).reshape(b, nq, c).astype(q.dtype)
+
+
+def cross_attention_smallk(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    precision: jax.lax.Precision | None = None,
+) -> jnp.ndarray:
+    """Attention specialized for few key/value tokens (the interaction
+    decoder attends 576 queries over <=3 exemplar tokens, reference:
+    models_crossvit.py:96-128).
+
+    Same math as :func:`multi_head_attention` but with the head dim
+    kept in place — no [B,H,N,D] transposes are materialized for what
+    amounts to a handful of weighted sums, which matters when nk is
+    tiny and the op is layout-bound rather than FLOP-bound.
+    """
+    b, nq, c = q.shape
+    nk = k.shape[1]
+    hd = c // num_heads
+    scale = hd ** -0.5
+    if precision is None:
+        precision = matmul_precision(q.dtype)
+    qh = q.reshape(b, nq, num_heads, hd)
+    kh = k.reshape(b, nk, num_heads, hd)
+    vh = v.reshape(b, nk, num_heads, hd)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bqhk", qh, kh,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    logits = logits * jnp.float32(scale)
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum(
+        "bqhk,bkhd->bqhd", probs.astype(v.dtype), vh,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return out.reshape(b, nq, c).astype(q.dtype)

@@ -8,49 +8,67 @@ via transforms.Resize on tensors).
 
 ``jax.image.resize(method='bilinear')`` uses half-pixel sampling and no
 antialiasing on upsampling — identical to torch's
-``align_corners=False`` non-antialiased path, so we delegate to it and
-let XLA fuse. For the hot fixed-ratio 2x case we provide an explicit
-VPU-friendly formulation: a 2x align_corners=False upsample is a
-constant 2-tap filter per axis (weights 3/4, 1/4) with edge clamping,
-expressed as pure shifts+FMAs that XLA fuses into neighboring convs —
-no gather, no resize kernel.
+``align_corners=False`` non-antialiased path, so the general resize
+delegates to it. The hot fixed-ratio 2x case is expressed as one tiny
+matmul per spatial axis against an exact, edge-clamped 2-tap weight
+matrix (entries 0.25/0.75, exactly representable in bf16 and fp32):
+the contraction runs on the MXU with the output written directly in
+NHWC layout — no interleave/transpose of the 4x-larger result tensor.
+Measured on v5e at the density head's hot shape (32,96,96,256)->192²,
+this is ~4x faster than a shift+FMA interleave formulation
+(scripts/profile_upsample.py).
 """
 
 from __future__ import annotations
+
+import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 
-def _up2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Double `axis` with half-pixel bilinear weights.
+@functools.lru_cache(maxsize=None)
+def _up2x_matrix(n: int) -> np.ndarray:
+    """[n, 2n] bilinear weight matrix: out = x @ W doubles the axis.
 
     Output sample 2i   = 0.25*x[i-1] + 0.75*x[i]   (clamped at edges)
     Output sample 2i+1 = 0.75*x[i]   + 0.25*x[i+1]
     """
-    x32 = x.astype(jnp.float32)
-    prev = jnp.concatenate(
-        [jax.lax.slice_in_dim(x32, 0, 1, axis=axis),
-         jax.lax.slice_in_dim(x32, 0, x.shape[axis] - 1, axis=axis)],
-        axis=axis,
-    )
-    nxt = jnp.concatenate(
-        [jax.lax.slice_in_dim(x32, 1, x.shape[axis], axis=axis),
-         jax.lax.slice_in_dim(x32, x.shape[axis] - 1, x.shape[axis], axis=axis)],
-        axis=axis,
-    )
-    even = 0.25 * prev + 0.75 * x32
-    odd = 0.75 * x32 + 0.25 * nxt
-    # Interleave even/odd along `axis`.
-    stacked = jnp.stack([even, odd], axis=axis + 1)
-    new_shape = list(x.shape)
-    new_shape[axis] *= 2
-    return stacked.reshape(new_shape).astype(x.dtype)
+    w = np.zeros((n, 2 * n), np.float32)
+    for o in range(2 * n):
+        i = o // 2
+        if o % 2 == 0:
+            taps = ((i - 1, 0.25), (i, 0.75))
+        else:
+            taps = ((i, 0.75), (i + 1, 0.25))
+        for src, wt in taps:
+            w[min(max(src, 0), n - 1), o] += wt
+    return w
 
 
 def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
-    """2x bilinear upsample of NHWC input, align_corners=False exact."""
-    return _up2x_axis(_up2x_axis(x, axis=1), axis=2)
+    """2x bilinear upsample of NHWC input, align_corners=False exact.
+
+    One matmul per spatial axis; fp32 inputs contract at HIGHEST
+    precision (exact 2-tap sums — passes the torch-oracle parity test
+    at fp32), bf16 inputs take the single-pass MXU path with fp32
+    accumulation.
+    """
+    n, h, w, c = x.shape
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    wh = jnp.asarray(_up2x_matrix(h), x.dtype)
+    ww = jnp.asarray(_up2x_matrix(w), x.dtype)
+    y = jnp.einsum("nhwc,hH->nHwc", x, wh, precision=prec,
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("nHwc,wW->nHWc", y.astype(x.dtype), ww, precision=prec,
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
