@@ -17,6 +17,11 @@ vs_baseline: the reference publishes no throughput number
 forwards per image on an RTX 3090. We use 2.0 images/sec as the
 baseline estimate (~0.5 s/image mean infer time for the 3090 pipeline)
 — the value the driver records is ours; vs_baseline is this ratio.
+
+The JSON also carries ``device_windows_per_sec`` as a first-class
+field: pure on-device window-forward throughput (chained jitted calls,
+one terminal fetch), separating chip capability from this machine's
+15-30 MB/s tunnel H2D link that bounds the end-to-end number.
 """
 
 import json
@@ -46,7 +51,8 @@ def main():
 
     rng = np.random.default_rng(0)
     model = build_countr(
-        "mae_vit_base6_patch16", dtype=jnp.bfloat16, use_pallas_attention=True
+        "mae_vit_base6_patch16", dtype=jnp.bfloat16, use_pallas_attention=True,
+        approx_gelu=True,
     )
     params = jax.jit(model.init, static_argnums=(3,))(
         jax.random.key(0),
@@ -55,6 +61,36 @@ def main():
         3,
     )
     engine = CountingEngine(model, params, batch_windows=BATCH_WINDOWS)
+
+    def device_windows_per_sec(iters: int = 10) -> float:
+        """Pure on-device window-forward rate (no host/tunnel): iters
+        chained forwards in one jitted scan, one terminal scalar fetch."""
+        from jax import lax
+
+        from countr_tpu.models.countr import CounTR
+
+        imgs = jnp.asarray(
+            rng.uniform(0, 1, (BATCH_WINDOWS, 384, 384, 3)), jnp.float32
+        )
+        y = jnp.asarray(rng.uniform(-1, 1, (BATCH_WINDOWS, 3, 512)), jnp.bfloat16)
+
+        def looped(imgs, p, y):
+            def body(c, _):
+                im = imgs + (c * 1e-12).astype(imgs.dtype)
+                d = model.apply(p, im, y, method=CounTR.forward_tokens)
+                return jnp.float32(d.ravel()[0]) * 1e-12, None
+
+            return lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+
+        run = jax.jit(looped)
+        _ = float(run(imgs, params, y))  # compile + warmup
+        t0 = time.perf_counter()
+        _ = float(run(imgs, params, y))
+        return BATCH_WINDOWS * iters / (time.perf_counter() - t0)
+
+    note("measuring device-only window throughput...")
+    dev_wps = device_windows_per_sec()
+    note(f"device-only: {dev_wps:.0f} windows/s")
 
     # FSC147-like width distribution (H=384, W multiple of 16); uint8
     # pixels, matching the real test pipeline's PIL output.
@@ -93,6 +129,7 @@ def main():
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
+        "device_windows_per_sec": round(dev_wps, 1),
         "detail": {
             "n_images": len(images),
             "n_windows": n_windows,

@@ -34,8 +34,14 @@ def add_model_args(p: argparse.ArgumentParser, default_model: str = "mae_vit_bas
                    help="model preset name (see countr_tpu.config.COUNTR_PRESETS)")
     p.add_argument("--resume", default="", type=str,
                    help=".pth checkpoint (reference format) or orbax dir")
-    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"],
-                   help="compute dtype; fp32 gives bit-parity with the torch reference")
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32", "mixed"],
+                   help="compute dtype; fp32 gives bit-parity with the torch "
+                        "reference; mixed = bf16 encoder/decoder + fp32 "
+                        "density head (cuts bf16 count error, ~same speed)")
+    p.add_argument("--exact_gelu", action="store_true",
+                   help="force exact erf GELU even in bf16/mixed modes "
+                        "(the bf16 fast path defaults to tanh GELU, whose "
+                        "error is below bf16 rounding)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the TPU-side equivalent "
@@ -45,7 +51,12 @@ def add_model_args(p: argparse.ArgumentParser, default_model: str = "mae_vit_bas
 
 
 def parse_dtype(name: str):
-    return jnp.bfloat16 if name == "bf16" else jnp.float32
+    return jnp.float32 if name == "fp32" else jnp.bfloat16
+
+
+def parse_head_dtype(name: str):
+    """Density-head dtype override: only the mixed mode diverges."""
+    return jnp.float32 if name == "mixed" else None
 
 
 def load_meta(args):
@@ -77,9 +88,13 @@ def build_counting_model(args) -> Tuple[object, dict]:
     dtype = parse_dtype(args.dtype)
     model = build_countr(
         args.model, dtype=dtype,
-        # fused Pallas encoder attention (bf16 only; ~20% faster than
-        # the XLA attention at batch 32 on v5e)
+        head_dtype=parse_head_dtype(args.dtype),
+        # bf16 fast mode: fused Pallas attention/LayerNorm kernels and
+        # tanh GELU (2.1x the fp32-op throughput at batch 32 on v5e,
+        # scripts/profile_forward.py); fp32 keeps the exact parity ops.
         use_pallas_attention=dtype == jnp.bfloat16,
+        approx_gelu=dtype == jnp.bfloat16
+        and not getattr(args, "exact_gelu", False),
     )
     cfg = model.cfg
 

@@ -67,11 +67,18 @@ def build_mae_model(args):
     from countr_tpu.models.mae import MaskedAutoencoderViT
 
     common.apply_runtime_flags(args)
+    dtype = common.parse_dtype(args.dtype)
     cfg = dataclasses.replace(
         MAE_PRESETS[args.model],
         mask_ratio=args.mask_ratio,
         norm_pix_loss=args.norm_pix_loss,
-        dtype=common.parse_dtype(args.dtype),
+        dtype=dtype,
+        # The pretrain hot loop gets the same bf16 fast mode as the
+        # counting CLIs (fused Pallas attention/LN, tanh GELU); the
+        # custom-VJP backward recomputes through the XLA ops.
+        use_pallas_attention=dtype == jnp.bfloat16,
+        approx_gelu=dtype == jnp.bfloat16
+        and not getattr(args, "exact_gelu", False),
     )
     model = MaskedAutoencoderViT(cfg, masked_loss=args.masked_loss)
     params = jax.jit(model.init)(
