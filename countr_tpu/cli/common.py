@@ -48,6 +48,25 @@ def add_model_args(p: argparse.ArgumentParser, default_model: str = "mae_vit_bas
                         "of the reference's CUDA_LAUNCH_BLOCKING debugging)")
     p.add_argument("--wandb_project", default="", type=str,
                    help="log to this W&B project when the client is available")
+    p.add_argument("--wandb_title", default="", type=str,
+                   help="W&B run name (reference --title)")
+    p.add_argument("--wandb_team", default="", type=str,
+                   help="W&B entity/team (reference --team)")
+    p.add_argument("--wandb_id", default="", type=str,
+                   help="W&B run id to resume (reference --wandb_id)")
+
+
+def make_wandb(args, enabled: bool = True):
+    """Rank-0 W&B writer honoring the reference's flag set."""
+    from countr_tpu.utils.metrics import WandbWriter
+
+    return WandbWriter(
+        (getattr(args, "wandb_project", "") or None) if enabled else None,
+        run_name=getattr(args, "wandb_title", "") or None,
+        config=vars(args),
+        team=getattr(args, "wandb_team", "") or None,
+        run_id=getattr(args, "wandb_id", "") or None,
+    )
 
 
 def parse_dtype(name: str):

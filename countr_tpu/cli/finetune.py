@@ -60,9 +60,13 @@ def get_args():
     p.add_argument("--n_devices", default=0, type=int,
                    help="use only the first N devices (0 = all)")
     p.add_argument("--panel_every", default=10, type=int,
-                   help="epochs between val density-panel images in TB "
-                        "(0 = off; reference logs these to W&B, "
+                   help="epochs between val density-panel images in "
+                        "TB/W&B (0 = off; reference: "
                         "FSC_finetune_cross.py:352-405)")
+    p.add_argument("--log_every", default=50, type=int,
+                   help="steps between train loss/lr scalar logs "
+                        "(0 = per-epoch only; reference logs to W&B "
+                        "every 50 steps, FSC_finetune_cross.py:320-326)")
     return p.parse_args()
 
 
@@ -103,12 +107,7 @@ def main(args):
     outdir = common.ensure_outdir(args) if main_proc else (args.output_dir or "")
     tb = TBWriter(os.path.join(outdir, "tb") if (outdir and main_proc) else None)
     jsonl = JsonlLogger(outdir if main_proc else None)
-    from countr_tpu.utils.metrics import WandbWriter
-
-    wandb = WandbWriter(
-        (getattr(args, "wandb_project", "") or None) if main_proc else None,
-        config=vars(args),
-    )
+    wandb = common.make_wandb(args, enabled=main_proc)
 
     if args.init_from_mae:
         if args.init_from_mae.endswith(".pth"):
@@ -210,9 +209,13 @@ def main(args):
         dev["m_flag"] = batch["m_flag"]
         return dev
 
+    log_every = getattr(args, "log_every", 50)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        step_metrics = []  # device arrays; one host sync per epoch
+        # O(1)-memory device-side running sums (one tiny add per step;
+        # a per-step list grows O(steps/epoch) and bloats on larger
+        # datasets)
+        totals = None
         n_steps = 0
         for batch in device_prefetch(train_dl.epoch(epoch), put=put):
             if args.limit_steps and n_steps >= args.limit_steps:
@@ -220,17 +223,30 @@ def main(args):
             shot_num = sample_shot_num(py_rng, batch["m_flag"])
             rng = jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + n_steps)
             state, m = train_step(state, batch, rng, shot_num)
-            step_metrics.append(m)
+            totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
             n_steps += 1
             if n_steps % 32 == 0:
                 # bound the async dispatch chain (long unsynced chains
-                # can wedge tunneled devices) and catch NaNs early
-                if not np.isfinite(float(m["loss"])):
+                # can wedge tunneled devices); the RUNNING sum catches a
+                # NaN from any step in the window, not just the sampled
+                # one
+                if not np.isfinite(float(totals["loss"])):
                     raise SystemExit(f"Loss is not finite at epoch {epoch}")
-        host_metrics = jax.device_get(step_metrics)
-        tr_loss = sum(float(m["loss"]) for m in host_metrics)
-        tr_mae = sum(float(m["mae"]) for m in host_metrics)
-        tr_mse = sum(float(m["mse"]) for m in host_metrics)
+            if log_every and n_steps % log_every == 0 and main_proc:
+                # per-N-step train scalars (reference streams loss/lr to
+                # W&B every 50 steps: FSC_finetune_cross.py:320-326)
+                gstep = epoch * steps_per_epoch + n_steps
+                rec = {
+                    "train/loss_step": float(m["loss"]),
+                    "train/lr_step": float(sched(gstep)),
+                }
+                wandb.log(rec, step=gstep)
+                for k, v in rec.items():
+                    tb.scalar(k, v, gstep)
+        host_metrics = jax.device_get(totals) if totals is not None else {}
+        tr_loss = float(host_metrics.get("loss", 0.0))
+        tr_mae = float(host_metrics.get("mae", 0.0))
+        tr_mse = float(host_metrics.get("mse", 0.0))
         if not np.isfinite(tr_loss):
             raise SystemExit(f"Loss is not finite at epoch {epoch}")
 
@@ -289,13 +305,18 @@ def main(args):
                 flush=True,
             )
         jsonl.write(stats)
-        wandb.log(stats, step=epoch)
+        # W&B steps must be monotonic: epoch records share the global-
+        # step axis with the per-50-step scalars
+        wandb.log(stats, step=(epoch + 1) * steps_per_epoch)
         for k, v in stats.items():
             if k != "epoch":
                 tb.scalar(k, v, epoch)
         panel_every = getattr(args, "panel_every", 0)
         if panel_every and epoch % panel_every == 0:
-            _log_val_panels(tb, model, state, val_ds, epoch)
+            _log_val_panels(
+                tb, model, state, val_ds, epoch, wandb=wandb,
+                wandb_step=(epoch + 1) * steps_per_epoch,
+            )
 
         if outdir and main_proc:
             # periodic / last / min-MAE checkpoints (reference:
@@ -324,8 +345,9 @@ def main(args):
     tb.flush()
 
 
-def _log_val_panels(tb, model, state, val_ds, epoch, n_panels: int = 4):
-    """GT-overlay | prediction | pred-overlay triptychs to TB
+def _log_val_panels(tb, model, state, val_ds, epoch, n_panels: int = 4,
+                    wandb=None, wandb_step=None):
+    """GT-overlay | prediction | pred-overlay triptychs to TB and W&B
     (reference W&B panels: FSC_finetune_cross.py:352-405)."""
     import jax.numpy as jnp
 
@@ -346,6 +368,8 @@ def _log_val_panels(tb, model, state, val_ds, epoch, n_panels: int = 4):
              np.clip(img / 2 + pred, 0, 1)], axis=1,
         )
         tb.image(f"val/density_{s['name']}", panel, epoch)
+        if wandb is not None:
+            wandb.image(f"val/density_{s['name']}", panel, wandb_step)
 
 
 def _entry():

@@ -49,6 +49,10 @@ def get_args():
                         "on many-core hosts)")
     p.add_argument("--ckpt_every", default=100, type=int)
     p.add_argument("--do_resume", action="store_true")
+    p.add_argument("--log_every", default=50, type=int,
+                   help="steps between train loss/lr scalar logs "
+                        "(0 = per-epoch only; reference cadence: "
+                        "FSC_finetune_cross.py:320-326)")
     p.add_argument("--recon_every", default=2000, type=int,
                    help="reconstruction image logging cadence in steps "
                         "(reference: FSC_pretrain.py:267-291)")
@@ -122,12 +126,7 @@ def main(args):
     outdir = common.ensure_outdir(args) if main_proc else (args.output_dir or "")
     tb = TBWriter(os.path.join(outdir, "tb") if (outdir and main_proc) else None)
     jsonl = JsonlLogger(outdir if main_proc else None)
-    from countr_tpu.utils.metrics import WandbWriter
-
-    wandb = WandbWriter(
-        (getattr(args, "wandb_project", "") or None) if main_proc else None,
-        config=vars(args),
-    )
+    wandb = common.make_wandb(args, enabled=main_proc)
 
     ds = PretrainDataset(meta, seed=args.seed)
     # multi-host: global --batch_size, per-process slice loading (see
@@ -175,7 +174,7 @@ def main(args):
 
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
-        step_losses = []  # device arrays; one host sync per epoch
+        loss_total = None  # O(1)-memory device-side running sum
         n_steps = 0
         for batch in device_prefetch(
             dl.epoch(epoch),
@@ -188,15 +187,26 @@ def main(args):
                 break
             rng = jax.random.fold_in(jax.random.key(args.seed), global_step)
             state, m = step_fn(state, batch, rng)
-            step_losses.append(m["loss"])
+            loss_total = m["loss"] if loss_total is None else loss_total + m["loss"]
             n_steps += 1
             global_step += 1
             if n_steps % 32 == 0:
-                if not np.isfinite(float(m["loss"])):
+                # the RUNNING sum catches a NaN from any step in the
+                # window, not just the sampled one
+                if not np.isfinite(float(loss_total)):
                     raise SystemExit(f"Loss is not finite at epoch {epoch}")
+            log_every = getattr(args, "log_every", 50)
+            if log_every and global_step % log_every == 0 and main_proc:
+                # per-N-step loss/lr scalars (reference cadence:
+                # FSC_finetune_cross.py:320-326)
+                rec = {"train/loss_step": float(m["loss"]),
+                       "train/lr_step": float(sched(global_step))}
+                wandb.log(rec, step=global_step)
+                for k, v in rec.items():
+                    tb.scalar(k, v, global_step)
             if args.recon_every and global_step % args.recon_every == 0:
                 _log_reconstruction(tb, model, state, batch, rng, global_step)
-        loss_sum = float(np.sum(jax.device_get(step_losses))) if step_losses else 0.0
+        loss_sum = float(jax.device_get(loss_total)) if loss_total is not None else 0.0
         if not np.isfinite(loss_sum):
             raise SystemExit(f"Loss is not finite at epoch {epoch}")
 
@@ -214,7 +224,8 @@ def main(args):
             )
         jsonl.write(stats)
         tb.scalar("train/loss", stats["train/loss"], epoch)
-        wandb.log(stats, step=epoch)
+        # share the global-step axis with the per-N-step scalars
+        wandb.log(stats, step=(epoch + 1) * steps_per_epoch)
 
         if outdir and main_proc and (
             (args.ckpt_every and (epoch + 1) % args.ckpt_every == 0)

@@ -50,7 +50,35 @@ def get_args():
     p.add_argument("--profile_dir", default="", type=str,
                    help="capture a jax.profiler trace of the inference "
                         "phase into this directory")
+    p.add_argument("--expect_mae", default=None, type=float,
+                   help="acceptance gate: exit nonzero unless the split "
+                        "MAE is within --expect_tol_pct of this value "
+                        "(reference released-weights bar: MAE 11.95, "
+                        "README.md:117-119)")
+    p.add_argument("--expect_rmse", default=None, type=float,
+                   help="acceptance gate on RMSE (reference: 91.23)")
+    p.add_argument("--expect_tol_pct", default=2.0, type=float,
+                   help="tolerance as a percentage of the expected value")
     return p.parse_args()
+
+
+def check_expectations(stats: dict, args) -> list:
+    """Acceptance-gate comparison; returns failure strings (empty =
+    pass). Fails when a metric exceeds expected * (1 + tol%) — beating
+    the expected number is never a failure."""
+    failures = []
+    tol = getattr(args, "expect_tol_pct", 2.0) / 100.0
+    for key, flag in (("MAE", "expect_mae"), ("RMSE", "expect_rmse")):
+        want = getattr(args, flag, None)
+        if want is None:
+            continue
+        got = stats[key]
+        if not np.isfinite(got) or got > want * (1.0 + tol):
+            failures.append(
+                f"{key} {got:.3f} exceeds expected {want:.3f} "
+                f"(+{getattr(args, 'expect_tol_pct', 2.0):.1f}% tolerance)"
+            )
+    return failures
 
 
 def main(args):
@@ -166,6 +194,16 @@ def main(args):
     if outdir:
         JsonlLogger(outdir).write(log_stats)
         viz.save_results(outdir, names, preds, gts)
+
+    failures = check_expectations(log_stats, args)
+    if failures:
+        for f in failures:
+            print(f"ACCEPTANCE FAILURE: {f}", flush=True)
+        raise SystemExit(1)
+    if getattr(args, "expect_mae", None) is not None or getattr(
+        args, "expect_rmse", None
+    ) is not None:
+        print("acceptance gate: PASS", flush=True)
     return log_stats
 
 

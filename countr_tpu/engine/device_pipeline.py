@@ -53,6 +53,41 @@ def extract_windows(images: jnp.ndarray, owners: jnp.ndarray, starts: jnp.ndarra
     return win.astype(jnp.float32)
 
 
+def extract_windows_resampled(
+    images: jnp.ndarray,  # [U, 384, Wb, C] uint8 or float
+    owners: jnp.ndarray,  # [B] int32 upload-row index
+    ix0: jnp.ndarray,  # [B, 384] int32 left column tap (absolute)
+    ix1: jnp.ndarray,  # [B, 384] int32 right column tap
+    wx1: jnp.ndarray,  # [B, 384] f32 weight of the right tap
+    iy0: jnp.ndarray,  # [B, 384] int32 top row tap
+    iy1: jnp.ndarray,  # [B, 384] int32 bottom row tap
+    wy1: jnp.ndarray,  # [B, 384] f32 weight of the bottom tap
+) -> jnp.ndarray:
+    """Window extraction fused with a bilinear resample: each output
+    pixel is a separable 2-tap lerp over source pixels, with the tap
+    indices/weights precomputed on host (cv2 INTER_LINEAR half-pixel
+    semantics). Grid-mode's 9 crop-resizes (reference:
+    FSC_test_cross(few-shot).py:274-288, transforms.Resize on tensors)
+    run on device straight from the ONE uint8 upload of the source
+    image — no host cv2 resize, no float32 H2D. A plain sliding window
+    is the identity map (ix0 == ix1 == start+arange, weights 0)."""
+
+    def get(o, cx0, cx1, cwx, ry0, ry1, rwy):
+        img = jax.lax.dynamic_index_in_dim(images, o, axis=0, keepdims=False)
+        c0 = jnp.take(img, cx0, axis=1)  # [384, 384, C]
+        c1 = jnp.take(img, cx1, axis=1)
+        if c0.dtype == jnp.uint8:
+            c0 = c0.astype(jnp.float32) / 255.0
+            c1 = c1.astype(jnp.float32) / 255.0
+        row = c0 + (c1 - c0) * cwx[None, :, None]
+        r0 = jnp.take(row, ry0, axis=0)
+        r1 = jnp.take(row, ry1, axis=0)
+        return r0 + (r1 - r0) * rwy[:, None, None]
+
+    win = jax.vmap(get)(owners, ix0, ix1, wx1, iy0, iy1, wy1)
+    return win.astype(jnp.float32)
+
+
 def accumulate(
     density: jnp.ndarray,  # [R, 384, Wb] f32
     dens: jnp.ndarray,  # [B, 384, 384] window densities
@@ -128,56 +163,90 @@ class DevicePipeline:
 
         self._fwd = jax.jit(fwd)
         self._extract = jax.jit(extract_windows)
+        self._extract_rs = jax.jit(extract_windows_resampled)
         self._accumulate = jax.jit(accumulate, donate_argnums=(0,))
         self._finalize = jax.jit(finalize)
 
     def run(
         self,
-        images_np: np.ndarray,  # [R, 384, Wb, 3] uint8 or float32
-        y_all: jnp.ndarray,  # [R, ny, C]
-        owners_np: np.ndarray,  # [N_win]
-        starts_np: np.ndarray,  # [N_win]
-        wcols_np: np.ndarray,  # [N_win, 384]
-        rects_np: np.ndarray,  # [R, K, 4]
+        images_np: np.ndarray,  # [U, 384, Wb, 3] uint8 or float32 upload rows
+        y_all: jnp.ndarray,  # [U, ny, C] exemplar tokens per upload row
+        plan: dict,  # window plan (see below)
+        rects_np: np.ndarray,  # [R, K, 4] per DENSITY row
         rect_valid_np: np.ndarray,  # [R, K]
+        n_den_rows: int,  # R: density rows (9 per grid image, 1 otherwise)
         batch_windows: int,
         want_density: bool,
     ):
         """Returns (counts [R], esum [R], density [R,384,Wb] or None) as
-        host numpy."""
-        r, h, wb, _ = images_np.shape
+        DEVICE arrays (callers fetch after dispatching further sets).
+
+        ``plan`` arrays, one entry per window, PLAIN windows first:
+          img_owner [N] int32 — upload row the pixels come from
+          den_owner [N] int32 — density row the output blends into
+          den_start [N] int32 — column offset in the density row
+          wcol [N, 384] f32   — stitch weights (0 on padding)
+          n_plain: int        — windows [0, n_plain) are plain slices;
+                                the rest carry resample maps
+          ix0/ix1/wx1/iy0/iy1/wy1 [N - n_plain, 384] — 2-tap bilinear
+                                maps for grid-mode crop windows
+        """
+        u, h, wb, _ = images_np.shape
         sharded = self.mesh is not None and batch_windows % self.mesh.devices.size == 0
         if sharded:
             images = jax.device_put(images_np, self._rsh)
             y_all = jax.device_put(y_all, self._rsh)
         else:
             images = jax.device_put(images_np)
-        density = jnp.zeros((r, h, wb), jnp.float32)
+        density = jnp.zeros((n_den_rows, h, wb), jnp.float32)
 
-        n = owners_np.shape[0]
         b = batch_windows
-        pad = (-n) % b
-        if pad:
-            owners_np = np.concatenate([owners_np, np.zeros(pad, np.int32)])
-            starts_np = np.concatenate([starts_np, np.zeros(pad, np.int32)])
-            wcols_np = np.concatenate(
-                [wcols_np, np.zeros((pad, WINDOW), np.float32)]
+        n = plan["img_owner"].shape[0]
+        n_plain = plan["n_plain"]
+
+        def pad_to(arr, m):
+            pad = m - arr.shape[0]
+            if pad <= 0:
+                return arr
+            return np.concatenate(
+                [arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)], 0
             )
-        for i in range(0, n + pad, b):
-            owners = jnp.asarray(owners_np[i : i + b])
-            starts = jnp.asarray(starts_np[i : i + b])
-            wcols = jnp.asarray(wcols_np[i : i + b])
-            if sharded:
-                owners = jax.device_put(owners, self._bsh)
-                starts = jax.device_put(starts, self._bsh)
-                wcols = jax.device_put(wcols, self._bsh)
+
+        def chunks(lo, hi):
+            for i in range(lo, hi, b):
+                yield i, min(i + b, hi)
+
+        def put(arr):
+            dev = jnp.asarray(arr)
+            return jax.device_put(dev, self._bsh) if sharded else dev
+
+        # plain segment: dynamic-slice extraction
+        for i, j in chunks(0, n_plain):
+            owners = put(pad_to(plan["img_owner"][i:j], b))
+            starts = put(pad_to(plan["den_start"][i:j], b))
+            den_own = put(pad_to(plan["den_owner"][i:j], b))
+            wcols = put(pad_to(plan["wcol"][i:j], b))
             windows = self._extract(images, owners, starts)
             dens = self._fwd(self.params, windows, y_all, owners)
-            density = self._accumulate(density, dens, owners, starts, wcols)
+            density = self._accumulate(density, dens, den_own, starts, wcols)
+
+        # resampled segment: fused gather-lerp extraction (grid mode)
+        for i, j in chunks(n_plain, n):
+            r = i - n_plain
+            s = j - n_plain
+            owners = put(pad_to(plan["img_owner"][i:j], b))
+            den_start = put(pad_to(plan["den_start"][i:j], b))
+            den_own = put(pad_to(plan["den_owner"][i:j], b))
+            wcols = put(pad_to(plan["wcol"][i:j], b))
+            maps = [
+                put(pad_to(plan[k][r:s], b))
+                for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1")
+            ]
+            windows = self._extract_rs(images, owners, *maps)
+            dens = self._fwd(self.params, windows, y_all, owners)
+            density = self._accumulate(density, dens, den_own, den_start, wcols)
 
         counts, esum = self._finalize(
             density, jnp.asarray(rects_np), jnp.asarray(rect_valid_np)
         )
-        # Device arrays out — callers fetch after dispatching further
-        # sets, so uploads of set k+1 overlap compute of set k.
         return counts, esum, (density if want_density else None)

@@ -104,6 +104,7 @@ class CountingEngine:
         self.max_s_cnt = max_s_cnt
         assert narrow_policy in ("pad", "reference")
         self.narrow_policy = narrow_policy
+        self.h2d_bytes = 0  # pixel+plan upload bytes (bench evidence)
 
         def _fwd(params, windows, y):
             return model.apply(params, windows, y, method=CounTR.forward_tokens)
@@ -313,111 +314,165 @@ class CountingEngine:
     def _dispatch_set(
         self, idxs, images, boxes_list, rects_list, shot_num, return_density
     ):
+        from countr_tpu.engine.stitch import resample_maps
+
         # Exemplar tokens for the set in one batched CNN call (padded to
-        # the row bucket for a single compiled shape).
+        # the upload-row bucket for a single compiled shape).
         n_img = len(idxs)
         grid_flags = {
             i: small_exemplar_count(rects_list[i]) >= self.max_s_cnt for i in idxs
         }
-        n_rows_est = sum(9 if grid_flags[i] else 1 for i in idxs)
-        r_bucket = self._row_bucket(max(n_rows_est, n_img))
+        u_bucket = self._row_bucket(n_img)
+        n_den = sum(9 if grid_flags[i] else 1 for i in idxs)
+        r_bucket = self._row_bucket(n_den)
         if shot_num > 0:
             bstack = np.stack(
                 [_as_float(boxes_list[i])[:shot_num] for i in idxs]
             )
             bstack = np.concatenate(
-                [bstack, np.zeros((r_bucket - n_img, *bstack.shape[1:]), np.float32)], 0
+                [bstack, np.zeros((u_bucket - n_img, *bstack.shape[1:]), np.float32)], 0
             )
             y_img = self._exemplars(self.params, jnp.asarray(bstack), shot_num)
         else:
             y_img = self._exemplars(
-                self.params, jnp.zeros((r_bucket, 1, 64, 64, 3), jnp.float32), 0
+                self.params, jnp.zeros((u_bucket, 1, 64, 64, 3), jnp.float32), 0
             )
 
-        # Build rows + window plan.
+        # One upload row per image — grid-mode crops are resized ON
+        # DEVICE from the source row, so uint8 uploads survive mixed
+        # sets (previously one grid image forced the whole set to f32
+        # and 9 full-size rows).
         use_u8 = all(images[i].dtype == np.uint8 for i in idxs)
-        if any(grid_flags.values()):
-            use_u8 = False  # grid crops are resized in float for parity
         max_w = max(images[i].shape[1] for i in idxs)
         wb = width_bucket(max(max_w, WINDOW))
+        dtype = np.uint8 if use_u8 else np.float32
+        stackr = np.zeros((u_bucket, WINDOW, wb, 3), dtype)
+        for p, i in enumerate(idxs):
+            img = images[i] if use_u8 else _as_float(images[i])
+            stackr[p, :, : img.shape[1]] = img
 
-        rows: List[np.ndarray] = []
-        row_owner_img: List[int] = []  # image index per row
-        plan_owner: List[int] = []
-        plan_start: List[int] = []
-        plan_wcol: List[np.ndarray] = []
-        img_rows: dict = {}
+        # Window plan: plain sliding windows first, then grid-mode
+        # resampled windows (the device pipeline switches extraction
+        # kernels at the boundary).
+        plain = {"img_owner": [], "den_owner": [], "den_start": [], "wcol": []}
+        rs = {
+            "img_owner": [], "den_owner": [], "den_start": [], "wcol": [],
+            "ix0": [], "ix1": [], "wx1": [], "iy0": [], "iy1": [], "wy1": [],
+        }
+        img_rows: dict = {}  # image idx -> [(density_row, true_w)]
+        den_owner_img: List[int] = []  # image idx per density row
+        n_den_rows = 0
 
-        def add_row(pixels: np.ndarray, img_i: int, true_w: int):
-            row_id = len(rows)
-            pad_w = wb - pixels.shape[1]
-            if pad_w:
-                pixels = np.pad(pixels, ((0, 0), (0, pad_w), (0, 0)))
-            rows.append(pixels)
-            row_owner_img.append(img_i)
-            img_rows.setdefault(img_i, []).append((row_id, true_w))
+        def window_cols(true_w):
+            """(start, wcol[384]) pairs for one row of width true_w."""
             if true_w < WINDOW:
                 if self.narrow_policy == "reference":
-                    return
+                    return []
                 wcol = np.zeros(WINDOW, np.float32)
                 wcol[:true_w] = 1.0
-                plan_owner.append(row_id)
-                plan_start.append(0)
-                plan_wcol.append(wcol)
-                return
+                return [(0, wcol)]
             starts, weights = stitch_weights(true_w)
-            for k, s in enumerate(starts):
-                plan_owner.append(row_id)
-                plan_start.append(s)
-                plan_wcol.append(weights[k, s : s + WINDOW])
+            return [(s, weights[k, s : s + WINDOW]) for k, s in enumerate(starts)]
 
-        for i in idxs:
-            img = images[i] if use_u8 else _as_float(images[i])
-            if grid_flags[i]:
-                for crop_row in self._grid_rows(_as_float(images[i])):
-                    add_row(crop_row, i, crop_row.shape[1])
-            else:
-                add_row(img, i, img.shape[1])
+        for p, i in enumerate(idxs):
+            true_w = images[i].shape[1]
+            if not grid_flags[i]:
+                den_row = n_den_rows
+                n_den_rows += 1
+                img_rows.setdefault(i, []).append((den_row, true_w))
+                den_owner_img.append(i)
+                for s, wcol in window_cols(true_w):
+                    plain["img_owner"].append(p)
+                    plain["den_owner"].append(den_row)
+                    plain["den_start"].append(s)
+                    plain["wcol"].append(wcol)
+                continue
+            for (t, l, ch, cw) in grid_crop_boxes(WINDOW, true_w):
+                den_row = n_den_rows
+                n_den_rows += 1
+                img_rows.setdefault(i, []).append((den_row, true_w))
+                den_owner_img.append(i)
+                iy0, iy1, wy1 = resample_maps(ch, WINDOW, t)
+                xi0, xi1, xw1 = resample_maps(cw, true_w, l)
+                if true_w < WINDOW:
+                    # pad the maps to the window width pointing at a
+                    # guaranteed-zero padded column (wb > true_w here),
+                    # matching the zero-padded narrow window of the
+                    # host path.
+                    pad = WINDOW - true_w
+                    zcol = np.full(pad, wb - 1, np.int32)
+                    xi0 = np.concatenate([xi0, zcol])
+                    xi1 = np.concatenate([xi1, zcol])
+                    xw1 = np.concatenate([xw1, np.zeros(pad, np.float32)])
+                for s, wcol in window_cols(true_w):
+                    rs["img_owner"].append(p)
+                    rs["den_owner"].append(den_row)
+                    rs["den_start"].append(s)
+                    rs["wcol"].append(wcol)
+                    rs["ix0"].append(xi0[s : s + WINDOW])
+                    rs["ix1"].append(xi1[s : s + WINDOW])
+                    rs["wx1"].append(xw1[s : s + WINDOW])
+                    rs["iy0"].append(iy0)
+                    rs["iy1"].append(iy1)
+                    rs["wy1"].append(wy1)
 
-        n_rows = len(rows)
-        dtype = np.uint8 if use_u8 else np.float32
-        stackr = np.zeros((r_bucket, WINDOW, wb, 3), dtype)
-        for ridx, row in enumerate(rows):
-            stackr[ridx] = row
+        n_plain = len(plain["img_owner"])
+        plan = {
+            "n_plain": n_plain,
+            "img_owner": np.asarray(
+                plain["img_owner"] + rs["img_owner"], np.int32
+            ),
+            "den_owner": np.asarray(
+                plain["den_owner"] + rs["den_owner"], np.int32
+            ),
+            "den_start": np.asarray(
+                plain["den_start"] + rs["den_start"], np.int32
+            ),
+            "wcol": (
+                np.stack(plain["wcol"] + rs["wcol"])
+                if (plain["wcol"] or rs["wcol"])
+                else np.zeros((0, WINDOW), np.float32)
+            ),
+        }
+        for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1"):
+            plan[k] = (
+                np.stack(rs[k]).astype(
+                    np.float32 if k in ("wx1", "wy1") else np.int32
+                )
+                if rs[k]
+                else np.zeros(
+                    (0, WINDOW),
+                    np.float32 if k in ("wx1", "wy1") else np.int32,
+                )
+            )
 
-        # y per row: gather image-level tokens by row owner.
-        img_pos = {im: p for p, im in enumerate(idxs)}
-        row_y_idx = np.asarray(
-            [img_pos[im] for im in row_owner_img]
-            + [0] * (r_bucket - n_rows),
-            np.int32,
-        )
-        y_rows = jnp.take(y_img, jnp.asarray(row_y_idx), axis=0)
-
-        # rects per row (the owning image's rects; all of them — the
-        # reference TTN loop is uncapped).
+        # rects per DENSITY row (the owning image's rects; all of them —
+        # the reference TTN loop is uncapped).
         k_max = max(1, max(len(rects_list[i]) for i in idxs))
         rects_arr = np.zeros((r_bucket, k_max, 4), np.int32)
         rects_valid = np.zeros((r_bucket, k_max), np.float32)
-        for ridx, im in enumerate(row_owner_img):
-            rr = rects_list[im]
-            for k, rect in enumerate(rr):
+        for ridx, im in enumerate(den_owner_img):
+            for k, rect in enumerate(rects_list[im]):
                 rects_arr[ridx, k] = rect
                 rects_valid[ridx, k] = 1.0
 
+        self.h2d_bytes += stackr.nbytes + rects_arr.nbytes + rects_valid.nbytes
+        self.h2d_bytes += sum(
+            v.nbytes for k, v in plan.items() if k != "n_plain"
+        )
         counts_dev, esum_dev, density_dev = self._pipeline.run(
             stackr,
-            y_rows,
-            np.asarray(plan_owner, np.int32),
-            np.asarray(plan_start, np.int32),
-            np.stack(plan_wcol) if plan_wcol else np.zeros((0, WINDOW), np.float32),
+            y_img,
+            plan,
             rects_arr,
             rects_valid,
+            r_bucket,
             self.batch_windows,
             want_density=return_density,
         )
         win_per_row: dict = {}
-        for o in plan_owner:
+        for o in plan["den_owner"]:
+            o = int(o)
             win_per_row[o] = win_per_row.get(o, 0) + 1
         return (
             idxs, img_rows, grid_flags, win_per_row, counts_dev, esum_dev,

@@ -85,6 +85,35 @@ def stitch(outputs: np.ndarray, starts, weights: np.ndarray, w: int) -> np.ndarr
     return acc.astype(np.float32)
 
 
+def resample_maps(
+    src: int, dst: int, offset: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cv2 INTER_LINEAR (half-pixel, edge-clamped) 2-tap maps for a 1-D
+    resize src -> dst: returns (idx0, idx1, w1) with
+    out[j] = (1-w1[j])*x[idx0[j]] + w1[j]*x[idx1[j]].
+
+    ``offset`` shifts the tap indices into a containing array (grid-mode
+    crops are resized in place inside the full source image; clamping
+    happens at the CROP edges, exactly like cv2.resize on the cropped
+    view — reference: FSC_test_cross(few-shot).py:288)."""
+    j = np.arange(dst, dtype=np.float64)
+    f = (j + 0.5) * (src / dst) - 0.5
+    s = np.floor(f).astype(np.int64)
+    f = (f - s).astype(np.float32)
+    lo = s < 0
+    s[lo] = 0
+    f[lo] = 0.0
+    hi = s >= src - 1
+    s[hi] = src - 1
+    f[hi] = 0.0
+    i1 = np.minimum(s + 1, src - 1)
+    return (
+        (s + offset).astype(np.int32),
+        (i1 + offset).astype(np.int32),
+        f,
+    )
+
+
 def grid_crop_boxes(h: int, w: int) -> List[Tuple[int, int, int, int]]:
     """The 3x3 grid-mode crop rectangles (top, left, ch, cw), in the
     reference's crop order — the LAST one feeds test-time normalization

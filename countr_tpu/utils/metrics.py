@@ -126,20 +126,41 @@ class WandbWriter:
     project is configured."""
 
     def __init__(self, project: Optional[str] = None, run_name: Optional[str] = None,
-                 config: Optional[Dict] = None):
+                 config: Optional[Dict] = None, team: Optional[str] = None,
+                 run_id: Optional[str] = None):
+        """run_name/team/run_id mirror the reference's --title /
+        --wandb (project) / --team / --wandb_id flags
+        (reference: FSC_finetune_cross.py:92-101); a run_id resumes the
+        named W&B run after a crash-restart."""
         self._run = None
         if not project:
             return
         try:
             import wandb  # type: ignore
 
-            self._run = wandb.init(project=project, name=run_name, config=config)
+            self._run = wandb.init(
+                project=project, name=run_name, config=config,
+                entity=team or None, id=run_id or None,
+                resume="allow" if run_id else None,
+            )
         except Exception:
             self._run = None
 
     def log(self, record: Dict, step: Optional[int] = None):
         if self._run is not None:
             self._run.log(record, step=step)
+
+    def image(self, tag: str, img_hwc, step: Optional[int] = None):
+        """Image panel sink (reference posts val density/box panels to
+        W&B: FSC_finetune_cross.py:352-405)."""
+        if self._run is None:
+            return
+        try:
+            import wandb  # type: ignore
+
+            self._run.log({tag: wandb.Image(img_hwc)}, step=step)
+        except Exception:
+            pass
 
     def log_artifact(self, path: str, name: str, kind: str = "model"):
         """Upload a checkpoint directory/file as a W&B artifact

@@ -73,6 +73,59 @@ def test_cli_test_external_exemplars(fsc_dir, tmp_path):  # noqa: F811
     assert np.isfinite(stats["MAE"])
 
 
+def test_cli_test_acceptance_gate(fsc_dir, tmp_path):  # noqa: F811
+    """--expect_mae/--expect_rmse gate (VERDICT item: gated real-weights
+    acceptance harness; reference bar: README.md:117-119). Generous
+    bound passes, impossible bound exits nonzero."""
+    from countr_tpu.cli import test as cli_test
+
+    stats = cli_test.main(
+        _test_args(
+            fsc_dir, str(tmp_path / "ok"), save_viz=False,
+            expect_mae=1e9, expect_rmse=1e9, expect_tol_pct=2.0,
+        )
+    )
+    assert np.isfinite(stats["MAE"])
+    with pytest.raises(SystemExit) as exc:
+        cli_test.main(
+            _test_args(
+                fsc_dir, str(tmp_path / "fail"), save_viz=False,
+                expect_mae=1e-9, expect_tol_pct=2.0,
+            )
+        )
+    assert exc.value.code == 1
+
+
+def test_cli_aggregate(tmp_path):
+    """log_test_results/plot_test_results equivalent over two fake run
+    dirs (reference: util/misc.py:565-620)."""
+    import csv
+
+    from countr_tpu.cli import aggregate
+
+    for name, mae, rmse in (("run_a", 10.0, 20.0), ("run_b", 5.0, 8.0)):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "log.txt", "w") as f:
+            # two lines -> the aggregator must average them
+            f.write(json.dumps({"MAE": mae, "RMSE": rmse, "NAE": 0.5,
+                                "note": "text ignored"}) + "\n")
+            f.write(json.dumps({"MAE": mae + 2, "RMSE": rmse + 2,
+                                "NAE": 0.7}) + "\n")
+    (tmp_path / "not_a_run").mkdir()  # no log.txt -> skipped
+    rows = aggregate.log_test_results(str(tmp_path))
+    assert [r["name"] for r in rows] == ["run_a", "run_b"]
+    assert rows[0]["MAE"] == pytest.approx(11.0)
+    assert rows[1]["RMSE"] == pytest.approx(9.0)
+    with open(tmp_path / "logs.csv", newline="") as f:
+        recs = list(csv.DictReader(f))
+    assert recs[0]["name"] == "run_a"
+    assert float(recs[1]["NAE"]) == pytest.approx(0.6)
+    out = aggregate.plot_test_results(str(tmp_path))
+    if out is not None:  # matplotlib present
+        assert os.path.exists(out)
+
+
 def test_cli_demo_zero_shot(fsc_dir, tmp_path):  # noqa: F811
     from countr_tpu.cli import demo as cli_demo
 
