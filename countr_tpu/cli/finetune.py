@@ -312,16 +312,22 @@ def main(args):
             if k != "epoch":
                 tb.scalar(k, v, epoch)
         panel_every = getattr(args, "panel_every", 0)
-        if panel_every and epoch % panel_every == 0:
+        if panel_every and epoch % panel_every == 0 and n_proc == 1:
+            # single-process only: the eager panel forward can't mix
+            # host-local inputs with globally-replicated params on a
+            # multi-process mesh
             _log_val_panels(
                 tb, model, state, val_ds, epoch, wandb=wandb,
                 wandb_step=(epoch + 1) * steps_per_epoch,
             )
 
-        if outdir and main_proc:
+        if outdir:
             # periodic / last / min-MAE checkpoints (reference:
-            # FSC_finetune_cross.py:407-420); rank-0 writes, state is
-            # replicated
+            # FSC_finetune_cross.py:407-420). Orbax checkpointing is a
+            # COLLECTIVE: every process must call save (orbax writes
+            # from the primary host only); output_dir must be a shared
+            # filesystem on multi-host pods. val_mae is a replicated
+            # metric, so the minMAE branch agrees across processes.
             host_state = jax.device_get(state)
             if args.ckpt_every and epoch % args.ckpt_every == 0 and epoch != 0:
                 ckpt.save_checkpoint(
@@ -338,10 +344,11 @@ def main(args):
                     keep=1,
                 )
                 # reference uploads the best checkpoint as a W&B
-                # artifact (util/misc.py:331-335)
-                wandb.log_artifact(
-                    os.path.join(outdir, "ckpt_minMAE"), "finetuning_minMAE"
-                )
+                # artifact (util/misc.py:331-335); host-only, rank 0
+                if main_proc:
+                    wandb.log_artifact(
+                        os.path.join(outdir, "ckpt_minMAE"), "finetuning_minMAE"
+                    )
     tb.flush()
 
 

@@ -204,7 +204,10 @@ def main(args):
                 wandb.log(rec, step=global_step)
                 for k, v in rec.items():
                     tb.scalar(k, v, global_step)
-            if args.recon_every and global_step % args.recon_every == 0:
+            if (args.recon_every and global_step % args.recon_every == 0
+                    and n_proc == 1):
+                # single-process only: the eager reconstruction forward
+                # can't mix host-local slices with global arrays
                 _log_reconstruction(tb, model, state, batch, rng, global_step)
         loss_sum = float(jax.device_get(loss_total)) if loss_total is not None else 0.0
         if not np.isfinite(loss_sum):
@@ -227,7 +230,10 @@ def main(args):
         # share the global-step axis with the per-N-step scalars
         wandb.log(stats, step=(epoch + 1) * steps_per_epoch)
 
-        if outdir and main_proc and (
+        # orbax saves are COLLECTIVE: every process calls them (orbax
+        # writes from the primary host; output_dir must be a shared FS
+        # on multi-host pods)
+        if outdir and (
             (args.ckpt_every and (epoch + 1) % args.ckpt_every == 0)
             or epoch + 1 == args.epochs
         ):
@@ -235,7 +241,7 @@ def main(args):
                 os.path.join(outdir, "ckpt_periodic"), epoch,
                 jax.device_get(state), keep=5,
             )
-        if outdir and main_proc:
+        if outdir:
             ckpt.save_checkpoint(
                 os.path.join(outdir, "ckpt_last"), epoch,
                 jax.device_get(state), keep=1,

@@ -28,11 +28,11 @@ def init_distributed(verbose: bool = True) -> None:
     multi-host job; silently a no-op for single-process runs
     (the reference prints 'Not using distributed mode' similarly,
     util/misc.py:247-250)."""
-    already_multi = jax.process_count() > 1
-    if already_multi:
-        return
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
+    # IMPORTANT: do not touch jax.process_count()/jax.devices() before
+    # initialize() — any backend query "initializes" single-process
+    # mode and the launch silently degrades to world size 1.
     try:
         if coord and nproc:
             jax.distributed.initialize(
@@ -40,10 +40,11 @@ def init_distributed(verbose: bool = True) -> None:
                 num_processes=int(nproc),
                 process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
             )
-        elif verbose:
+        elif verbose and jax.process_count() == 1:
             print("Not using distributed mode")
     except RuntimeError as e:
-        # e.g. called after backend init in a single-process test run
+        # e.g. called twice, or after backend init in a single-process
+        # test run
         if verbose:
             print(f"distributed init skipped: {e}")
     if verbose and jax.process_count() > 1:
