@@ -43,6 +43,12 @@ def get_args():
     p.add_argument("--accum_iter", default=1, type=int)
     p.add_argument("--no_aug", action="store_true",
                    help="disable train-time augmentation")
+    p.add_argument("--device_aug", action="store_true",
+                   help="run the photometric augmentation + density "
+                        "synthesis on device inside the train step "
+                        "(uint8 geometry on the host; 4x less H2D; "
+                        "distribution-level parity — see "
+                        "countr_tpu.ops.augment)")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
@@ -141,7 +147,10 @@ def main(args):
         params = transfer_encoder(mae_params, params, depth=model.cfg.depth)
         print(f"initialized encoder from {args.init_from_mae}")
 
-    train_ds = TrainDataset(meta, do_aug=not args.no_aug, seed=args.seed)
+    device_aug = getattr(args, "device_aug", False) and not args.no_aug
+    train_ds = TrainDataset(
+        meta, do_aug=not args.no_aug, seed=args.seed, device_aug=device_aug
+    )
     val_ds = ValDataset(meta)
     # multi-host: --batch_size stays the GLOBAL batch; each process
     # loads only its slice and make_global_batch stitches the shards
@@ -195,13 +204,18 @@ def main(args):
             start_epoch = step + 1
             print(f"resumed epoch {start_epoch} from {last_dir}")
 
-    train_step = make_finetune_step(model, tcfg)
+    train_step = make_finetune_step(model, tcfg, device_aug=device_aug)
     eval_step = make_eval_step(model)
     py_rng = random.Random(args.seed)
     min_mae = float("inf")
 
+    batch_keys = (
+        ("image_u8", "dots", "n_dots", "apply_photo", "boxes")
+        if device_aug else ("image", "gt_density", "boxes")
+    )
+
     def put(batch):
-        arrays = {k: batch[k] for k in ("image", "gt_density", "boxes")}
+        arrays = {k: batch[k] for k in batch_keys}
         if n_proc > 1:
             dev = make_global_batch(mesh, arrays)
         else:

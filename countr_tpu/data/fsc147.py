@@ -258,12 +258,18 @@ class TrainDataset:
         split: str = "train",
         do_aug: bool = True,
         seed: int = 0,
+        device_aug: bool = False,
     ):
         self.meta = meta
         self.ids = meta.splits[split]
         self.do_aug = do_aug
         self.seed = seed
         self.epoch = 0
+        # device_aug: the host keeps only uint8 geometry (affine, flip,
+        # crop, mosaic) and ships dot coordinates; the photometric chain
+        # and density synthesis run inside the jitted train step
+        # (countr_tpu.ops.augment) — see make_finetune_step(device_aug=).
+        self.device_aug = device_aug and do_aug
         # decode+resize are deterministic per image; epochs 2+ hit this
         self._cache = ImageCache()
 
@@ -275,7 +281,7 @@ class TrainDataset:
 
     # -- helpers ---------------------------------------------------------
 
-    def _load_resized(self, im_id: str) -> Tuple[np.ndarray, np.ndarray, float, float, int, int]:
+    def _load_resized_u8(self, im_id: str) -> Tuple[np.ndarray, np.ndarray, float, float, int, int]:
         anno = self.meta.annotations[im_id]
         dots = np.asarray(anno["points"], np.float64).reshape(-1, 2)
         cached = self._cache.get(im_id)
@@ -287,8 +293,11 @@ class TrainDataset:
         else:
             u8, h0, w0 = cached
         nh, nw = T.flex_size(h0, w0)
-        image = u8.astype(np.float32) / 255.0
-        return image, dots, nh / h0, nw / w0, nh, nw
+        return u8, dots, nh / h0, nw / w0, nh, nw
+
+    def _load_resized(self, im_id: str) -> Tuple[np.ndarray, np.ndarray, float, float, int, int]:
+        u8, dots, sy, sx, nh, nw = self._load_resized_u8(im_id)
+        return u8.astype(np.float32) / 255.0, dots, sy, sx, nh, nw
 
     @staticmethod
     def _scaled_dots(dots, sy, sx, nh, nw) -> np.ndarray:
@@ -367,12 +376,85 @@ class TrainDataset:
         img_out, den_out = _blend_mosaic(cells_img, cells_den, blending_l, resize_l)
         return img_out, den_out, m_flag
 
+    # -- device-aug geometry path -----------------------------------------
+
+    # FSC147's densest image has ~3.7k dots; a 384-crop can contain all
+    # of them. int16 coords: 16 KB/sample over the wire.
+    MAX_DEVICE_DOTS = 4096
+
+    def _device_item(self, rng, im_id: str, anno: Dict) -> Dict:
+        """uint8 geometry-only sample for the in-step device
+        augmentation (countr_tpu.ops.augment): affine/flip/crop or
+        mosaic on the host at uint8, dot COORDINATES instead of a
+        density map; noise/jitter/blur and density synthesis happen in
+        the jitted train step. Mosaic samples are flagged apply_photo=0
+        (reference mosaic cells are clean, util/FSC147.py:177-255)."""
+        u8, dots, sy, sx, nh, nw = self._load_resized_u8(im_id)
+        m_flag = 0
+        if rng.random() < 0.25:  # mosaic
+            imgf = u8.astype(np.float32) / 255.0
+            out_img, out_den, m_flag = self._mosaic(
+                rng, im_id, imgf, dots, sy, sx, nh, nw
+            )
+            out_u8 = np.clip(np.rint(out_img * 255.0), 0, 255).astype(np.uint8)
+            ys, xs = np.nonzero(out_den)
+            pts = np.stack([xs, ys], 1).astype(np.int32)
+            apply_photo = np.float32(0.0)
+        else:
+            kps = self._scaled_dots(dots, sy, sx, nh, nw).astype(np.float64)
+            work, warped, in_bounds = T.random_affine(rng, u8, kps)
+            keep = []
+            for (x, y), ok in zip(warped, in_bounds):
+                if ok and int(y) <= nh - 1 and int(x) <= nw - 1:
+                    keep.append((int(x), int(y)))
+            pts = np.asarray(keep, np.int64).reshape(-1, 2)
+            if rng.random() > 0.5:  # hflip
+                work = work[:, ::-1]
+                if pts.size:
+                    pts[:, 0] = nw - 1 - pts[:, 0]
+            left = int(rng.integers(0, nw - 1 - 383 + 1))
+            top = int(rng.integers(0, nh - 1 - 383 + 1))
+            out_u8 = np.ascontiguousarray(work[top : top + 384, left : left + 384])
+            if pts.size:
+                sel = (
+                    (pts[:, 0] >= left) & (pts[:, 0] < left + IMG_SIZE)
+                    & (pts[:, 1] >= top) & (pts[:, 1] < top + IMG_SIZE)
+                )
+                pts = (pts[sel] - np.asarray([left, top])).astype(np.int32)
+            else:
+                pts = np.zeros((0, 2), np.int32)
+            apply_photo = np.float32(1.0)
+
+        k = min(pts.shape[0], self.MAX_DEVICE_DOTS)
+        dots_pad = np.zeros((self.MAX_DEVICE_DOTS, 2), np.int16)
+        dots_pad[:k] = pts[:k]
+
+        rects = []
+        for box in anno["box_examples_coordinates"][:MAX_SHOTS]:
+            rects.append([
+                int(box[0][1] * sy), int(box[0][0] * sx),
+                int(box[2][1] * sy), int(box[2][0] * sx),
+            ])
+        boxes = _pad_boxes(T.crop_exemplars_u8(u8, rects))
+        return {
+            "image_u8": out_u8,
+            "dots": dots_pad,
+            "n_dots": np.int32(k),
+            "apply_photo": apply_photo,
+            "boxes": boxes,
+            "rects": [],
+            "m_flag": m_flag,
+            "name": im_id,
+        }
+
     # -- main ------------------------------------------------------------
 
     def __getitem__(self, idx: int) -> Dict:
         rng = _sample_rng(self.seed, self.epoch, idx)
         im_id = self.ids[idx]
         anno = self.meta.annotations[im_id]
+        if self.device_aug:
+            return self._device_item(rng, im_id, anno)
         image, dots, sy, sx, nh, nw = self._load_resized(im_id)
         m_flag = 0
         rects_out: List[List[int]] = []

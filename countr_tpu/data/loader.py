@@ -18,7 +18,11 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-_STACK_KEYS = ("image", "gt_density", "boxes")
+_STACK_KEYS = (
+    "image", "gt_density", "boxes",
+    # device-aug geometry samples (TrainDataset(device_aug=True))
+    "image_u8", "dots", "n_dots", "apply_photo",
+)
 
 # --- process-worker plumbing (one unpickled dataset per worker) ----------
 _worker_dataset = None

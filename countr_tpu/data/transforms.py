@@ -153,6 +153,27 @@ def crop_exemplars(
     return np.stack(out)
 
 
+def crop_exemplars_u8(
+    image_u8: np.ndarray,
+    rects: Sequence[Sequence[int]],
+    max_boxes: int = 3,
+    size: int = EXEMPLAR_SIZE,
+) -> np.ndarray:
+    """crop_exemplars for a uint8 source: slices first, converts only
+    the small crops to float (device-aug path keeps the full image
+    uint8 end to end)."""
+    out = []
+    for rect in list(rects)[:max_boxes]:
+        y1, x1, y2, x2 = (int(v) for v in rect)
+        crop = image_u8[y1 : y2 + 1, x1 : x2 + 1].astype(np.float32) / 255.0
+        if crop.size == 0:
+            crop = np.zeros((1, 1, 3), np.float32)
+        out.append(tensor_resize(crop, size, size))
+    if not out:
+        return np.zeros((0, size, size, 3), np.float32)
+    return np.stack(out)
+
+
 def scale_rects(
     boxes: Sequence[Sequence[Sequence[float]]], sy: float, sx: float
 ) -> List[List[int]]:
@@ -281,7 +302,8 @@ def random_affine(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Centered random affine on image + (x, y) keypoints (reference
     ranges: util/FSC147.py:150-158). Returns (image, warped_keypoints,
-    in_bounds_mask)."""
+    in_bounds_mask). The output dtype follows the input (uint8 inputs
+    stay uint8 — the device-aug geometry path)."""
     h, w = img.shape[:2]
     ang = math.radians(rng.uniform(*rotate))
     sc = rng.uniform(*scale)
@@ -310,7 +332,7 @@ def random_affine(
         if kps.size
         else np.zeros((0,), bool)
     )
-    return out.astype(np.float32), kps, in_bounds
+    return out.astype(img.dtype), kps, in_bounds
 
 
 def hflip(img: np.ndarray, dmap: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -116,12 +116,18 @@ def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 
 def make_finetune_step(
-    model: CounTR, cfg: TrainConfig
+    model: CounTR, cfg: TrainConfig, device_aug: bool = False
 ) -> Callable[[TrainState, Dict, jax.Array, int], Tuple[TrainState, Dict]]:
     """Returns jitted step(state, batch, rng, shot_num) -> (state, metrics).
 
     batch: {'image' [B,384,384,3], 'gt_density' [B,384,384],
     'boxes' [B,3,64,64,3]}. shot_num is static (4 variants compile).
+
+    With device_aug, batch instead carries the host-geometry sample
+    {'image_u8' uint8, 'dots' [B,K,2] int16, 'n_dots', 'apply_photo',
+    'boxes'} and the photometric chain + density synthesis run INSIDE
+    this step on device (countr_tpu.ops.augment) — the host ships 4x
+    fewer bytes and does none of the per-pixel work.
 
     Loss = sum((out-gt)^2 * pixel_mask / HW) / B with a Bernoulli(0.8)
     pixel mask shared across the batch — the reference's masked MSE
@@ -130,8 +136,17 @@ def make_finetune_step(
     hw = model.cfg.img_size
 
     def step_fn(state: TrainState, batch, rng, shot_num: int):
-        imgs = batch["image"]
-        gt = batch["gt_density"].astype(jnp.float32)
+        if device_aug:
+            from countr_tpu.ops.augment import augment_batch
+
+            rng, k_aug = jax.random.split(rng)
+            imgs, gt = augment_batch(
+                k_aug, batch["image_u8"], batch["dots"], batch["n_dots"],
+                batch["apply_photo"],
+            )
+        else:
+            imgs = batch["image"]
+            gt = batch["gt_density"].astype(jnp.float32)
         boxes = batch["boxes"]
         b = imgs.shape[0]
 

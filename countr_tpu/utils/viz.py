@@ -128,12 +128,63 @@ def frames_to_video(frame_dir: str, out_path: str, fps: float = 30.0) -> bool:
     return True
 
 
-def write_zeroshot_annotations(
+def write_zeroshot_annotations(dir_path: str, h: int = 960, w: int = 1280) -> None:
+    """Bootstrap FSC147-format metadata for a folder of un-annotated
+    images: <dir>/images/* -> <dir>/annotations.json (empty points/
+    boxes per image) + <dir>/split.json ({"test": [...]}), so the
+    zero-shot test CLI can run on a custom directory
+    (reference: util/misc.py:470-489; the reference hand-writes the
+    JSON and emits trailing commas — invalid JSON — which we fix by
+    serializing properly)."""
+    import json
+
+    imdir = os.path.join(dir_path, "images")
+    names = sorted(
+        f for f in os.listdir(imdir)
+        if os.path.isfile(os.path.join(imdir, f))
+    )
+    anno = {
+        n: {"H": h, "W": w, "box_examples_coordinates": [], "points": []}
+        for n in names
+    }
+    with open(os.path.join(dir_path, "annotations.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(anno, f, indent=2)
+    with open(os.path.join(dir_path, "split.json"), "w", encoding="utf-8") as f:
+        json.dump({"test": names}, f, indent=2)
+
+
+def write_annotations_gt(
+    old_annotations: str, new_annotations: str, gt_csv: str
+) -> None:
+    """Merge a VIA-export CSV of dot annotations (filename +
+    region_shape_attributes JSON with cx/cy) into an FSC147-format
+    annotations file (reference: util/misc.py:492-506, pandas-free)."""
+    import csv
+    import json
+
+    with open(old_annotations, encoding="utf-8") as f:
+        anno = json.load(f)
+    points: dict = {}
+    with open(gt_csv, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            shape = json.loads(row["region_shape_attributes"])
+            if "cx" in shape and "cy" in shape:
+                points.setdefault(row["filename"], []).append(
+                    [shape["cx"], shape["cy"]]
+                )
+    for filename, pts in points.items():
+        anno[filename]["points"] = pts
+    with open(new_annotations, "w", encoding="utf-8") as f:
+        json.dump(anno, f, indent=4)
+
+
+def write_predicted_points(
     path: str, name: str, density: np.ndarray, threshold: float = 0.1
 ) -> None:
     """Write predicted object locations (density local maxima above a
-    threshold) as a per-image annotation file — the zero-shot
-    annotation-writer role (reference: util/misc.py:470-506)."""
+    threshold) as a per-image annotation file — an addition beyond the
+    reference for inspecting zero-shot predictions."""
     from scipy import ndimage as ndi
 
     maxima = (density == ndi.maximum_filter(density, size=5)) & (

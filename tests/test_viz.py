@@ -48,12 +48,64 @@ def test_frames_to_video(tmp_path, rng):
     assert os.path.getsize(out) > 0
 
 
-def test_zeroshot_annotations(tmp_path):
+def test_predicted_points(tmp_path):
     density = np.zeros((100, 100), np.float32)
     density[20, 30] = 60.0
     density[70, 80] = 60.0
     path = str(tmp_path / "anno.json")
-    viz.write_zeroshot_annotations(path, "img.jpg", density)
+    viz.write_predicted_points(path, "img.jpg", density)
     rec = json.loads(open(path).read())
     assert rec["count"] == 2.0
     assert sorted(rec["points_xy"]) == [[30, 20], [80, 70]]
+
+
+def test_zeroshot_annotation_bootstrap(tmp_path):
+    """write_zeroshot_annotations must emit FSC147-format metadata that
+    the real dataset loader + zero-shot test path can consume
+    (reference: util/misc.py:470-489 — whose hand-built JSON is
+    malformed; ours must round-trip through json.load)."""
+    from PIL import Image
+
+    from countr_tpu.data.fsc147 import FSC147Meta, TestDataset
+
+    imdir = tmp_path / "images"
+    imdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+        ).save(imdir / f"cust_{i}.jpg")
+    viz.write_zeroshot_annotations(str(tmp_path))
+    anno = json.loads((tmp_path / "annotations.json").read_text())
+    split = json.loads((tmp_path / "split.json").read_text())
+    assert sorted(anno) == ["cust_0.jpg", "cust_1.jpg"] == sorted(split["test"])
+    assert anno["cust_0.jpg"]["points"] == []
+    meta = FSC147Meta.load(
+        str(tmp_path), anno_file="annotations.json",
+        data_split_file="split.json", im_dir="images",
+    )
+    ds = TestDataset(meta, split="test", box_bound=0)
+    s = ds[0]
+    assert s["image"].shape[0] == 384 and len(s["dots"]) == 0
+
+
+def test_write_annotations_gt(tmp_path):
+    """VIA-CSV dot merge (reference: util/misc.py:492-506)."""
+    old = tmp_path / "old.json"
+    old.write_text(json.dumps({
+        "a.jpg": {"H": 96, "W": 128, "box_examples_coordinates": [],
+                   "points": []},
+        "b.jpg": {"H": 96, "W": 128, "box_examples_coordinates": [],
+                   "points": []},
+    }))
+    csv_path = tmp_path / "gt.csv"
+    csv_path.write_text(
+        "filename,region_shape_attributes\n"
+        'a.jpg,"{""name"": ""point"", ""cx"": 10, ""cy"": 20}"\n'
+        'a.jpg,"{""name"": ""point"", ""cx"": 30, ""cy"": 40}"\n'
+    )
+    new = tmp_path / "new.json"
+    viz.write_annotations_gt(str(old), str(new), str(csv_path))
+    merged = json.loads(new.read_text())
+    assert merged["a.jpg"]["points"] == [[10, 20], [30, 40]]
+    assert merged["b.jpg"]["points"] == []
