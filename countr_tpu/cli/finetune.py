@@ -49,6 +49,12 @@ def get_args():
                         "(uint8 geometry on the host; 4x less H2D; "
                         "distribution-level parity — see "
                         "countr_tpu.ops.augment)")
+    p.add_argument("--resident_data", action="store_true",
+                   help="upload the decoded train split to HBM once "
+                        "and materialize every augmented batch on "
+                        "device from per-sample geometry scalars "
+                        "(~KBs/step H2D; single-process; see "
+                        "countr_tpu.engine.train_store)")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
@@ -147,16 +153,26 @@ def main(args):
         params = transfer_encoder(mae_params, params, depth=model.cfg.depth)
         print(f"initialized encoder from {args.init_from_mae}")
 
+    n_proc, proc_id = jax.process_count(), jax.process_index()
     device_aug = getattr(args, "device_aug", False) and not args.no_aug
+    resident = getattr(args, "resident_data", False) and not args.no_aug
+    store = None
+    if resident:
+        if n_proc > 1:
+            raise SystemExit("--resident_data is single-process only")
+        from countr_tpu.engine.train_store import build_store
+        from countr_tpu.data.fsc147 import FSC147Meta  # noqa: F401
+
+        store = build_store(meta, meta.splits["train"])
     train_ds = TrainDataset(
-        meta, do_aug=not args.no_aug, seed=args.seed, device_aug=device_aug
+        meta, do_aug=not args.no_aug, seed=args.seed, device_aug=device_aug,
+        store_index=store.index if store else None,
     )
     val_ds = ValDataset(meta)
     # multi-host: --batch_size stays the GLOBAL batch; each process
     # loads only its slice and make_global_batch stitches the shards
     # (the reference's DistributedSampler+DDP split, without the
     # gradient backend)
-    n_proc, proc_id = jax.process_count(), jax.process_index()
     train_dl = DataLoader(
         train_ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
         drop_last=True, seed=args.seed,
@@ -204,15 +220,29 @@ def main(args):
             start_epoch = step + 1
             print(f"resumed epoch {start_epoch} from {last_dir}")
 
-    train_step = make_finetune_step(model, tcfg, device_aug=device_aug)
+    if resident:
+        from countr_tpu.engine.train import make_store_finetune_step
+
+        _store_step = make_store_finetune_step(model, tcfg)
+        store_arrays = store.arrays
+
+        def train_step(state, batch, rng, shot_num):
+            return _store_step(state, store_arrays, batch, rng, shot_num)
+    else:
+        train_step = make_finetune_step(model, tcfg, device_aug=device_aug)
     eval_step = make_eval_step(model)
     py_rng = random.Random(args.seed)
     min_mae = float("inf")
 
-    batch_keys = (
-        ("image_u8", "dots", "n_dots", "apply_photo", "boxes")
-        if device_aug else ("image", "gt_density", "boxes")
-    )
+    if resident:
+        batch_keys = (
+            "img_idx", "affine_C", "affine_d", "is_mosaic", "cell_idx",
+            "cell_top", "cell_left", "cell_len", "blend_l", "dots", "n_dots",
+        )
+    elif device_aug:
+        batch_keys = ("image_u8", "dots", "n_dots", "apply_photo", "boxes")
+    else:
+        batch_keys = ("image", "gt_density", "boxes")
 
     def put(batch):
         arrays = {k: batch[k] for k in batch_keys}

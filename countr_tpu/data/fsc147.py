@@ -259,6 +259,7 @@ class TrainDataset:
         do_aug: bool = True,
         seed: int = 0,
         device_aug: bool = False,
+        store_index: Optional[Dict[str, int]] = None,
     ):
         self.meta = meta
         self.ids = meta.splits[split]
@@ -270,6 +271,10 @@ class TrainDataset:
         # and density synthesis run inside the jitted train step
         # (countr_tpu.ops.augment) — see make_finetune_step(device_aug=).
         self.device_aug = device_aug and do_aug
+        # store_index: resident-store mode (engine.train_store) — the
+        # host ships geometry PARAMETERS only; pixels never leave HBM.
+        self.store_index = store_index
+        self.store_mode = store_index is not None and do_aug
         # decode+resize are deterministic per image; epochs 2+ hit this
         self._cache = ImageCache()
 
@@ -376,6 +381,173 @@ class TrainDataset:
         img_out, den_out = _blend_mosaic(cells_img, cells_den, blending_l, resize_l)
         return img_out, den_out, m_flag
 
+    # -- resident-store parameter path --------------------------------------
+
+    def _mosaic_params(self, rng, im_id, dots, sy, sx, nh, nw):
+        """The mosaic DRAWS of _mosaic (same rng order,
+        reference: util/FSC147.py:177-255) without any pixel work:
+        returns (cell image ids, tops, lefts, lengths, blend_l,
+        output dot coords, m_flag). Cell layout [TL, BL, TR, BR]."""
+        blending_l = int(rng.integers(10, 21))
+        resize_l = 192 + 2 * blending_l
+        cell_ids: List[str] = []
+        specs = []  # (top, left, length)
+        cell_dots: List[np.ndarray] = []
+        m_flag = 0
+
+        def cell_dot_coords(t_dots, t_sy, t_sx, t_nh, t_nw, top, left, length):
+            pts = []
+            for x, y in self._scaled_dots(t_dots, t_sy, t_sx, t_nh, t_nw):
+                if top <= y < top + length and left <= x < left + length:
+                    cy = min(resize_l - 1, int((y - top) * resize_l / length))
+                    cx = min(resize_l - 1, int((x - left) * resize_l / length))
+                    pts.append((cx, cy))
+            return np.asarray(pts, np.int64).reshape(-1, 2)
+
+        if dots.shape[0] >= 70:
+            for _ in range(4):
+                length = int(rng.integers(150, 385))
+                left = int(rng.integers(0, nw - length + 1))
+                top = int(rng.integers(0, nh - length + 1))
+                cell_ids.append(im_id)
+                specs.append((top, left, length))
+                cell_dots.append(
+                    cell_dot_coords(dots, sy, sx, nh, nw, top, left, length)
+                )
+        else:
+            m_flag = 1
+            prob = rng.random()
+            gt_pos = int(rng.integers(0, 4)) if prob > 0.25 else int(rng.integers(0, 5))
+            my_class = self.meta.classes.get(im_id)
+            for i in range(4):
+                if i == gt_pos:
+                    t_id, t_dots = im_id, dots
+                    t_sy, t_sx, t_nh, t_nw = sy, sx, nh, nw
+                else:
+                    t_id = self.ids[int(rng.integers(0, len(self.ids)))]
+                    anno_t = self.meta.annotations[t_id]
+                    t_dots = np.asarray(anno_t["points"], np.float64).reshape(-1, 2)
+                    # dims from the SAME flex geometry (no decode needed)
+                    t_nh, t_nw, t_sy, t_sx = self._flex_dims(t_id)
+                length = int(rng.integers(250, 385))
+                left = int(rng.integers(0, t_nw - length + 1))
+                top = int(rng.integers(0, t_nh - length + 1))
+                cell_ids.append(t_id)
+                specs.append((top, left, length))
+                if my_class is not None and my_class == self.meta.classes.get(t_id):
+                    cell_dots.append(
+                        cell_dot_coords(t_dots, t_sy, t_sx, t_nh, t_nw, top, left, length)
+                    )
+                else:
+                    cell_dots.append(np.zeros((0, 2), np.int64))
+
+        # cell dots -> output coords (trim bl margins, shift quadrants;
+        # reference den assembly: util/FSC147.py:236-255 keeps rows/cols
+        # [bl, resize_l-bl) of each cell, no seam blending for dots)
+        bl = blending_l
+        out_pts = []
+        for i, pts in enumerate(cell_dots):
+            col_shift = 192 if i >= 2 else 0   # cells 2,3 are the right half
+            row_shift = 192 if i % 2 == 1 else 0  # cells 1,3 are the bottom
+            for cx, cy in pts:
+                if bl <= cx < resize_l - bl and bl <= cy < resize_l - bl:
+                    out_pts.append((cx - bl + col_shift, cy - bl + row_shift))
+        out_pts = np.asarray(out_pts, np.int64).reshape(-1, 2)
+        tops = np.asarray([s[0] for s in specs], np.int32)
+        lefts = np.asarray([s[1] for s in specs], np.int32)
+        lens = np.asarray([s[2] for s in specs], np.int32)
+        return cell_ids, tops, lefts, lens, blending_l, out_pts, m_flag
+
+    def _flex_dims(self, im_id: str):
+        """(nh, nw, sy, sx) without decoding: PIL reads the size from
+        the header; cached."""
+        if not hasattr(self, "_dims_cache"):
+            self._dims_cache = {}
+        hit = self._dims_cache.get(im_id)
+        if hit is None:
+            from PIL import Image as PILImage
+
+            with PILImage.open(
+                os.path.join(self.meta.im_dir, im_id)
+            ) as img:
+                w0, h0 = img.size
+            nh, nw = T.flex_size(h0, w0)
+            hit = (nh, nw, nh / h0, nw / w0)
+            self._dims_cache[im_id] = hit
+        return hit
+
+    def _store_item(self, rng, im_id: str, anno: Dict) -> Dict:
+        """Parameters-only sample for the resident-store mode
+        (engine.train_store): the device materializes the pixels; the
+        host ships ~100 bytes of geometry + the dot coordinates."""
+        from countr_tpu.engine.train_store import compose_affine
+
+        nh, nw, sy, sx = self._flex_dims(im_id)
+        dots = np.asarray(anno["points"], np.float64).reshape(-1, 2)
+        idx = self.store_index[im_id]
+
+        ident_C = np.eye(2, dtype=np.float32)
+        zero_d = np.zeros(2, np.float32)
+        if rng.random() < 0.25:  # mosaic
+            cell_ids, tops, lefts, lens, bl, pts, m_flag = self._mosaic_params(
+                rng, im_id, dots, sy, sx, nh, nw
+            )
+            cell_idx = np.asarray(
+                [self.store_index[c] for c in cell_ids], np.int32
+            )
+            C, d = ident_C, zero_d
+            is_mosaic = np.float32(1.0)
+        else:
+            m_flag = 0
+            M = T.draw_affine_matrix(rng, nh, nw)
+            kps = self._scaled_dots(dots, sy, sx, nh, nw).astype(np.float64)
+            warped, in_bounds = T.warp_keypoints(M, kps, nh, nw)
+            keep = []
+            for (x, y), ok in zip(warped, in_bounds):
+                if ok and int(y) <= nh - 1 and int(x) <= nw - 1:
+                    keep.append((int(x), int(y)))
+            pts = np.asarray(keep, np.int64).reshape(-1, 2)
+            flip = rng.random() > 0.5
+            if flip and pts.size:
+                pts[:, 0] = nw - 1 - pts[:, 0]
+            left = int(rng.integers(0, nw - 1 - 383 + 1))
+            top = int(rng.integers(0, nh - 1 - 383 + 1))
+            if pts.size:
+                sel = (
+                    (pts[:, 0] >= left) & (pts[:, 0] < left + IMG_SIZE)
+                    & (pts[:, 1] >= top) & (pts[:, 1] < top + IMG_SIZE)
+                )
+                pts = pts[sel] - np.asarray([left, top])
+            else:
+                pts = np.zeros((0, 2), np.int64)
+            C, d = compose_affine(M, flip, left, top, nw)
+            cell_idx = np.full(4, idx, np.int32)
+            tops = np.zeros(4, np.int32)
+            lefts = np.zeros(4, np.int32)
+            lens = np.full(4, IMG_SIZE, np.int32)
+            bl = 10
+            is_mosaic = np.float32(0.0)
+
+        k = min(pts.shape[0], self.MAX_DEVICE_DOTS)
+        dots_pad = np.zeros((self.MAX_DEVICE_DOTS, 2), np.int16)
+        dots_pad[:k] = pts[:k]
+        return {
+            "img_idx": np.int32(idx),
+            "affine_C": C,
+            "affine_d": d,
+            "is_mosaic": is_mosaic,
+            "cell_idx": cell_idx,
+            "cell_top": tops,
+            "cell_left": lefts,
+            "cell_len": lens,
+            "blend_l": np.int32(bl),
+            "dots": dots_pad,
+            "n_dots": np.int32(k),
+            "m_flag": m_flag,
+            "name": im_id,
+            "rects": [],
+        }
+
     # -- device-aug geometry path -----------------------------------------
 
     # FSC147's densest image has ~3.7k dots; a 384-crop can contain all
@@ -453,6 +625,8 @@ class TrainDataset:
         rng = _sample_rng(self.seed, self.epoch, idx)
         im_id = self.ids[idx]
         anno = self.meta.annotations[im_id]
+        if self.store_mode:
+            return self._store_item(rng, im_id, anno)
         if self.device_aug:
             return self._device_item(rng, im_id, anno)
         image, dots, sy, sx, nh, nw = self._load_resized(im_id)

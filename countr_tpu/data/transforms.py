@@ -291,6 +291,50 @@ def gaussian_blur(
 # ---------------------------------------------------------------------------
 
 
+def draw_affine_matrix(
+    rng: np.random.Generator,
+    h: int,
+    w: int,
+    rotate: Tuple[float, float] = (-15, 15),
+    scale: Tuple[float, float] = (0.8, 1.2),
+    shear: Tuple[float, float] = (-10, 10),
+    translate: Tuple[float, float] = (-0.2, 0.2),
+) -> np.ndarray:
+    """Sample the forward cv2 warp matrix [2, 3] of the reference's
+    random affine (ranges: util/FSC147.py:150-158), centered."""
+    ang = math.radians(rng.uniform(*rotate))
+    sc = rng.uniform(*scale)
+    shx = math.radians(rng.uniform(*shear))
+    tx = rng.uniform(*translate) * w
+    ty = rng.uniform(*translate) * h
+
+    cx, cy = w / 2.0, h / 2.0
+    cos, sin = math.cos(ang), math.sin(ang)
+    # scale -> rotate -> shear about the image center, then translate
+    rot = np.asarray([[cos, -sin], [sin, cos]])
+    sh = np.asarray([[1.0, math.tan(shx)], [0.0, 1.0]])
+    m2 = sh @ rot * sc
+    offset = np.asarray([cx + tx, cy + ty]) - m2 @ np.asarray([cx, cy])
+    return np.concatenate([m2, offset[:, None]], axis=1).astype(np.float32)
+
+
+def warp_keypoints(
+    M: np.ndarray, keypoints: np.ndarray, h: int, w: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Forward-warp (x, y) keypoints by a [2,3] matrix; returns
+    (warped, in_bounds_mask)."""
+    if keypoints.size:
+        kps = keypoints @ M[:, :2].T + M[:, 2]
+    else:
+        kps = keypoints.reshape(0, 2)
+    in_bounds = (
+        (kps[:, 0] >= 0) & (kps[:, 0] <= w - 1) & (kps[:, 1] >= 0) & (kps[:, 1] <= h - 1)
+        if kps.size
+        else np.zeros((0,), bool)
+    )
+    return kps, in_bounds
+
+
 def random_affine(
     rng: np.random.Generator,
     img: np.ndarray,
@@ -305,20 +349,8 @@ def random_affine(
     in_bounds_mask). The output dtype follows the input (uint8 inputs
     stay uint8 — the device-aug geometry path)."""
     h, w = img.shape[:2]
-    ang = math.radians(rng.uniform(*rotate))
-    sc = rng.uniform(*scale)
-    shx = math.radians(rng.uniform(*shear))
-    tx = rng.uniform(*translate) * w
-    ty = rng.uniform(*translate) * h
-
-    cx, cy = w / 2.0, h / 2.0
-    cos, sin = math.cos(ang), math.sin(ang)
-    # scale -> rotate -> shear about the image center, then translate
-    rot = np.asarray([[cos, -sin], [sin, cos]])
-    sh = np.asarray([[1.0, math.tan(shx)], [0.0, 1.0]])
-    m2 = sh @ rot * sc
-    offset = np.asarray([cx + tx, cy + ty]) - m2 @ np.asarray([cx, cy])
-    M = np.concatenate([m2, offset[:, None]], axis=1).astype(np.float32)
+    M = draw_affine_matrix(rng, h, w, rotate, scale, shear, translate)
+    m2, offset = M[:, :2].astype(np.float64), M[:, 2].astype(np.float64)
 
     out = cv2.warpAffine(
         img, M, (w, h), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,

@@ -147,32 +147,63 @@ def make_finetune_step(
         else:
             imgs = batch["image"]
             gt = batch["gt_density"].astype(jnp.float32)
-        boxes = batch["boxes"]
-        b = imgs.shape[0]
-
-        def loss_fn(params):
-            out = model.apply({"params": params}, imgs, boxes, shot_num)
-            mask = jax.random.bernoulli(rng, cfg.loss_mask_p, (hw, hw))
-            sq = jnp.square(out - gt) * mask.astype(jnp.float32)
-            loss = jnp.sum(sq / (hw * hw)) / b
-            return loss, out
-
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        new_state = state.apply_gradients(grads)
-
-        pred_cnt = jnp.sum(out, axis=(1, 2)) / DENSITY_SCALE
-        gt_cnt = jnp.sum(gt, axis=(1, 2)) / DENSITY_SCALE
-        err = jnp.abs(pred_cnt - gt_cnt)
-        metrics = {
-            "loss": loss,
-            "mae": jnp.mean(err),
-            "mse": jnp.mean(jnp.square(err)),
-        }
-        return new_state, metrics
+        return _finetune_core(model, cfg, state, imgs, gt, batch["boxes"],
+                              rng, shot_num)
 
     return jax.jit(step_fn, static_argnums=(3,), donate_argnums=(0,))
+
+
+def _finetune_core(model, cfg, state, imgs, gt, boxes, rng, shot_num: int):
+    """Shared masked-MSE forward/backward/update + count metrics."""
+    hw = model.cfg.img_size
+    b = imgs.shape[0]
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, imgs, boxes, shot_num)
+        mask = jax.random.bernoulli(rng, cfg.loss_mask_p, (hw, hw))
+        sq = jnp.square(out - gt) * mask.astype(jnp.float32)
+        loss = jnp.sum(sq / (hw * hw)) / b
+        return loss, out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads)
+
+    pred_cnt = jnp.sum(out, axis=(1, 2)) / DENSITY_SCALE
+    gt_cnt = jnp.sum(gt, axis=(1, 2)) / DENSITY_SCALE
+    err = jnp.abs(pred_cnt - gt_cnt)
+    metrics = {
+        "loss": loss,
+        "mae": jnp.mean(err),
+        "mse": jnp.mean(jnp.square(err)),
+    }
+    return new_state, metrics
+
+
+def make_store_finetune_step(
+    model: CounTR, cfg: TrainConfig
+) -> Callable:
+    """Resident-store fine-tune step: step(state, store_arrays, batch,
+    rng, shot_num). The batch carries only geometry PARAMETERS
+    (engine.train_store); pixels are materialized on device from the
+    resident pool, then photometric aug + density synthesis run in-step
+    (mosaic samples skip photometric, reference: util/FSC147.py:177-255).
+    store_arrays must be passed as arguments every call — closing over
+    them would ship gigabytes as compile-request constants."""
+
+    def step_fn(state: TrainState, store_arrays, batch, rng, shot_num: int):
+        from countr_tpu.engine.train_store import materialize_batch
+        from countr_tpu.ops.augment import density_from_dots, photometric
+
+        imgs, boxes = materialize_batch(store_arrays, batch)
+        rng, k_aug = jax.random.split(rng)
+        keys = jax.random.split(k_aug, imgs.shape[0])
+        imgs = jax.vmap(
+            lambda k, im, mos: jnp.where(mos > 0, im, photometric(k, im))
+        )(keys, imgs, batch["is_mosaic"])
+        gt = jax.vmap(density_from_dots)(batch["dots"], batch["n_dots"])
+        return _finetune_core(model, cfg, state, imgs, gt, boxes, rng, shot_num)
+
+    return jax.jit(step_fn, static_argnums=(4,), donate_argnums=(0,))
 
 
 def make_eval_step(model: CounTR):

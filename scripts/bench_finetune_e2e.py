@@ -53,6 +53,8 @@ def make_dataset(root: str, n: int, rng) -> None:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--device_aug", action="store_true")
+    p.add_argument("--resident", action="store_true",
+                   help="resident-store mode (pixels live in HBM)")
     p.add_argument("--batch", default=8, type=int)
     p.add_argument("--epochs", default=3, type=int)
     p.add_argument("--n_images", default=64, type=int)
@@ -94,20 +96,42 @@ def main():
     )
     tx, _ = make_optimizer(tcfg, 100, b, freeze_encoder=cfg.freeze_encoder)
     state = init_train_state(params["params"], tx)
-    step = make_finetune_step(model, tcfg, device_aug=args.device_aug)
 
-    ds = TrainDataset(meta, do_aug=True, seed=0, device_aug=args.device_aug)
+    store = None
+    if args.resident:
+        from countr_tpu.engine.train import make_store_finetune_step
+        from countr_tpu.engine.train_store import build_store
+
+        t0 = time.perf_counter()
+        store = build_store(meta, meta.splits["train"])
+        print(f"store built+uploaded in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        _step = make_store_finetune_step(model, tcfg)
+        sa = store.arrays
+
+        def step(s, batch, rng, shot):
+            return _step(s, sa, batch, rng, shot)
+
+        keys = ("img_idx", "affine_C", "affine_d", "is_mosaic", "cell_idx",
+                "cell_top", "cell_left", "cell_len", "blend_l", "dots",
+                "n_dots")
+        ds = TrainDataset(meta, do_aug=True, seed=0, store_index=store.index)
+    else:
+        step = make_finetune_step(model, tcfg, device_aug=args.device_aug)
+        keys = (
+            ("image_u8", "dots", "n_dots", "apply_photo", "boxes")
+            if args.device_aug else ("image", "gt_density", "boxes")
+        )
+        ds = TrainDataset(meta, do_aug=True, seed=0,
+                          device_aug=args.device_aug)
     dl = DataLoader(ds, b, shuffle=True, num_workers=args.num_workers,
                     drop_last=True, seed=0)
-    keys = (
-        ("image_u8", "dots", "n_dots", "apply_photo", "boxes")
-        if args.device_aug else ("image", "gt_density", "boxes")
-    )
 
     def put(batch):
         return {k: jax.device_put(batch[k]) for k in keys}
 
-    mode = "device_aug" if args.device_aug else "host_aug"
+    mode = ("resident" if args.resident
+            else "device_aug" if args.device_aug else "host_aug")
     print(f"[{mode}] compiling + epoch 0 (cold cache)...", flush=True)
     times = []
     for epoch in range(args.epochs):

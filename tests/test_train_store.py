@@ -1,0 +1,221 @@
+"""Resident-store training (engine.train_store): device-materialized
+batches must reproduce the host geometry pipeline."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from countr_tpu.data import transforms as T
+from countr_tpu.engine import train_store as TS
+
+
+@pytest.fixture(scope="module")
+def store_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("store_fsc")
+    imdir = root / "images_384_VarV2"
+    imdir.mkdir()
+    rng = np.random.default_rng(11)
+    anno, ids = {}, []
+    sizes = [(400, 500), (384, 600), (500, 420), (420, 480)]
+    for i, (h, w) in enumerate(sizes):
+        im_id = f"img_{i}.jpg"
+        ids.append(im_id)
+        # save as PNG content in .jpg name? keep jpg; decode noise is
+        # irrelevant — host and device read the SAME store pixels
+        Image.fromarray(rng.integers(0, 256, (h, w, 3)).astype(np.uint8)).save(
+            imdir / im_id
+        )
+        k = 80 if i == 0 else 20  # img_0 rich enough for type-1 mosaic
+        pts = np.stack([rng.uniform(5, w - 5, k), rng.uniform(5, h - 5, k)], 1)
+        boxes = [[[10, 10], [10, 40], [40, 40], [40, 10]]] * 3
+        anno[im_id] = {"points": pts.tolist(), "box_examples_coordinates": boxes}
+    (root / "annotation_FSC147_384.json").write_text(json.dumps(anno))
+    (root / "Train_Test_Val_FSC_147.json").write_text(
+        json.dumps({"train": ids, "val": ids[:1], "test": ids[:1]})
+    )
+    (root / "ImageClasses_FSC147.txt").write_text(
+        "\n".join(f"{i} widget" for i in ids)
+    )
+    from countr_tpu.data.fsc147 import FSC147Meta
+
+    meta = FSC147Meta.load(str(root))
+    store = TS.build_store(meta, ids, log=lambda *_: None)
+    return meta, store
+
+
+def _host_image(meta, store, i):
+    """The float image the store's pixels represent."""
+    im_id = store.ids[i]
+    img = meta.open_image(im_id)
+    w0, h0 = img.size
+    u8 = T.pil_resize_u8(img, *T.flex_size(h0, w0))
+    return u8.astype(np.float32) / 255.0
+
+
+def test_store_catalog(store_fixture):
+    meta, store = store_fixture
+    px = np.asarray(store.pixels)
+    for i, im_id in enumerate(store.ids):
+        h, w = int(store.h_np[i]), int(store.w_np[i])
+        base = int(np.asarray(store.base)[i])
+        flat = px[base : base + h * w].reshape(h, w, 3)
+        want = (_host_image(meta, store, i) * 255).round().astype(np.uint8)
+        np.testing.assert_array_equal(flat, want)
+
+
+def test_affine_sample_matches_cv2(store_fixture):
+    """Device affine+flip+crop == cv2.warpAffine -> hflip -> crop on
+    the float image (cv2 quantizes coords to 1/32 px; tolerance
+    reflects that)."""
+    import cv2
+
+    meta, store = store_fixture
+    rng = np.random.default_rng(5)
+    i = 1
+    imgf = _host_image(meta, store, i)
+    nh, nw = imgf.shape[:2]
+    for flip in (False, True):
+        M = T.draw_affine_matrix(rng, nh, nw)
+        left = int(rng.integers(0, nw - 384 + 1))
+        top = int(rng.integers(0, nh - 384 + 1))
+        warped = cv2.warpAffine(
+            imgf, M, (nw, nh), flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT,
+        )
+        if flip:
+            warped = warped[:, ::-1]
+        want = warped[top : top + 384, left : left + 384]
+        C, d = TS.compose_affine(M, flip, left, top, nw)
+        got = np.asarray(
+            jax.jit(TS._affine_sample)(
+                store.pixels, store.base[i], store.width[i],
+                store.height[i], store.width[i], jnp.asarray(C), jnp.asarray(d),
+            )
+        )
+        assert np.abs(got - want).mean() < 5e-3
+        assert np.abs(got - want).max() < 0.08
+
+
+def test_mosaic_sample_matches_host(store_fixture):
+    """Device mosaic == tensor_resize + _blend_mosaic on floats."""
+    from countr_tpu.data.fsc147 import _blend_mosaic
+
+    meta, store = store_fixture
+    rng = np.random.default_rng(7)
+    bl = 14
+    resize_l = 192 + 2 * bl
+    cells, tops, lefts, lens = [], [], [], []
+    cells_img = []
+    for i in range(4):
+        j = int(rng.integers(0, len(store.ids)))
+        h, w = int(store.h_np[j]), int(store.w_np[j])
+        length = int(rng.integers(250, min(385, min(h, w) + 1)))
+        top = int(rng.integers(0, h - length + 1))
+        left = int(rng.integers(0, w - length + 1))
+        cells.append(j)
+        tops.append(top)
+        lefts.append(left)
+        lens.append(length)
+        imgf = _host_image(meta, store, j)
+        crop = imgf[top : top + length, left : left + length]
+        cells_img.append(T.tensor_resize(crop, resize_l, resize_l))
+    zeros = [np.zeros((resize_l, resize_l), np.float32)] * 4
+    want, _den = _blend_mosaic(cells_img, zeros, bl, resize_l)
+    got = np.asarray(
+        jax.jit(TS._mosaic_sample)(
+            store.pixels, store.base[jnp.asarray(cells)],
+            store.width[jnp.asarray(cells)],
+            jnp.asarray(tops), jnp.asarray(lefts), jnp.asarray(lens),
+            jnp.asarray(bl),
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert want.shape == (384, 384, 3)
+
+
+def test_mosaic_params_match_host_pixels(store_fixture):
+    """_mosaic_params' draws + dot bookkeeping == the host _mosaic with
+    an identically-seeded rng (same draw order), for both mosaic types."""
+    from countr_tpu.data.fsc147 import TrainDataset
+
+    meta, store = store_fixture
+    ds = TrainDataset(meta, seed=0, store_index=store.index)
+    for idx, im_id in [(0, store.ids[0]), (1, store.ids[1])]:  # type1, type2
+        anno = meta.annotations[im_id]
+        dots = np.asarray(anno["points"], np.float64).reshape(-1, 2)
+        image, _, sy, sx, nh, nw = ds._load_resized(im_id)
+        rng_a = np.random.default_rng(42)
+        rng_b = np.random.default_rng(42)
+        img_host, den_host, mf_host = ds._mosaic(
+            rng_a, im_id, image, dots, sy, sx, nh, nw
+        )
+        cell_ids, tops, lefts, lens, bl, pts, mf = ds._mosaic_params(
+            rng_b, im_id, dots, sy, sx, nh, nw
+        )
+        assert mf == mf_host
+        # dots: the host density's nonzero coords == the param dots
+        ys, xs = np.nonzero(den_host)
+        host_pts = sorted(zip(xs.tolist(), ys.tolist()))
+        got_pts = sorted(map(tuple, pts.tolist()))
+        assert got_pts == host_pts
+        # pixels: device mosaic from the params == host mosaic image
+        cj = jnp.asarray([store.index[c] for c in cell_ids])
+        got_img = np.asarray(
+            jax.jit(TS._mosaic_sample)(
+                store.pixels, store.base[cj], store.width[cj],
+                jnp.asarray(tops), jnp.asarray(lefts), jnp.asarray(lens),
+                jnp.asarray(bl),
+            )
+        )
+        np.testing.assert_allclose(got_img, img_host, atol=2e-5)
+
+
+def test_store_step_end_to_end(store_fixture):
+    """Full resident-store fine-tune step on the CPU mesh: finite loss,
+    params move, batch is parameters-only."""
+    from countr_tpu.config import CounTRConfig, TrainConfig
+    from countr_tpu.data.fsc147 import TrainDataset
+    from countr_tpu.data.loader import DataLoader
+    from countr_tpu.engine.train import (
+        init_train_state, make_optimizer, make_store_finetune_step,
+    )
+    from countr_tpu.models.countr import CounTR
+
+    meta, store = store_fixture
+    ds = TrainDataset(meta, seed=0, store_index=store.index)
+    dl = DataLoader(ds, 4, shuffle=True, num_workers=0, drop_last=True, seed=0)
+    batch = next(iter(dl.epoch(0)))
+    for k in ("img_idx", "affine_C", "is_mosaic", "dots", "n_dots"):
+        assert k in batch, k
+    assert "image" not in batch and "image_u8" not in batch
+
+    cfg = CounTRConfig(
+        img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+    )
+    model = CounTR(cfg)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 384, 384, 3)),
+        jnp.zeros((1, 3, 64, 64, 3)), 3,
+    )["params"]
+    tcfg = TrainConfig(batch_size=4, epochs=2, warmup_epochs=0, lr=1e-4)
+    tx, _ = make_optimizer(tcfg, 1, 4)
+    state = init_train_state(params, tx)
+    step = make_store_finetune_step(model, tcfg)
+    dev_batch = {
+        k: jnp.asarray(batch[k]) for k in (
+            "img_idx", "affine_C", "affine_d", "is_mosaic", "cell_idx",
+            "cell_top", "cell_left", "cell_len", "blend_l", "dots", "n_dots",
+        )
+    }
+    leaves0 = [np.asarray(l).copy() for l in jax.tree.leaves(state.params)]
+    state, m = step(state, store.arrays, dev_batch, jax.random.key(1), 3)
+    state, m = step(state, store.arrays, dev_batch, jax.random.key(2), 3)
+    assert np.isfinite(float(m["loss"]))
+    leaves1 = [np.asarray(l) for l in jax.tree.leaves(state.params)]
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
