@@ -44,6 +44,11 @@ def get_args():
     p.add_argument("--weight_decay", default=0.05, type=float)
     p.add_argument("--accum_iter", default=1, type=int)
     p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--resident_data", action="store_true",
+                   help="upload the decoded train split to HBM once; "
+                        "the RandomResizedCrop+flip runs on device from "
+                        "crop scalars (~30 B/sample H2D; single-process; "
+                        "see countr_tpu.engine.train_store)")
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
                         "on many-core hosts)")
@@ -128,10 +133,18 @@ def main(args):
     jsonl = JsonlLogger(outdir if main_proc else None)
     wandb = common.make_wandb(args, enabled=main_proc)
 
-    ds = PretrainDataset(meta, seed=args.seed)
+    n_proc = jax.process_count()
+    resident = getattr(args, "resident_data", False)
+    store = None
+    if resident:
+        if n_proc > 1:
+            raise SystemExit("--resident_data is single-process only")
+        from countr_tpu.engine.train_store import build_pretrain_store
+
+        store = build_pretrain_store(meta, meta.splits["train"])
+    ds = PretrainDataset(meta, seed=args.seed, store=store)
     # multi-host: global --batch_size, per-process slice loading (see
     # finetune.py / parallel.mesh.make_global_batch)
-    n_proc = jax.process_count()
     dl = DataLoader(
         ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
         drop_last=True, seed=args.seed,
@@ -169,7 +182,18 @@ def main(args):
             start_epoch = step + 1
             print(f"resumed epoch {start_epoch}")
 
-    step_fn = make_pretrain_step(model)
+    if resident:
+        from countr_tpu.engine.train import make_store_pretrain_step
+
+        _store_step = make_store_pretrain_step(model, store.max_w)
+        store_arrays = store.arrays
+        _STORE_KEYS = ("img_idx", "crop_top", "crop_left", "crop_h",
+                       "crop_w", "transposed", "flip")
+
+        def step_fn(state, batch, rng):
+            return _store_step(state, store_arrays, batch, rng)
+    else:
+        step_fn = make_pretrain_step(model)
     global_step = start_epoch * steps_per_epoch
 
     for epoch in range(start_epoch, args.epochs):
@@ -179,7 +203,9 @@ def main(args):
         for batch in device_prefetch(
             dl.epoch(epoch),
             put=lambda b: (
-                make_global_batch(mesh, b["image"]) if n_proc > 1
+                {k: jax.device_put(b[k], bsh) for k in _STORE_KEYS}
+                if resident
+                else make_global_batch(mesh, b["image"]) if n_proc > 1
                 else jax.device_put(b["image"], bsh)
             ),
         ):
@@ -208,7 +234,17 @@ def main(args):
                     and n_proc == 1):
                 # single-process only: the eager reconstruction forward
                 # can't mix host-local slices with global arrays
-                _log_reconstruction(tb, model, state, batch, rng, global_step)
+                if resident:
+                    from countr_tpu.engine.train_store import (
+                        materialize_pretrain_batch,
+                    )
+
+                    recon_imgs = jax.jit(
+                        materialize_pretrain_batch, static_argnums=(2,)
+                    )(store_arrays, batch, store.max_w)
+                else:
+                    recon_imgs = batch
+                _log_reconstruction(tb, model, state, recon_imgs, rng, global_step)
         loss_sum = float(jax.device_get(loss_total)) if loss_total is not None else 0.0
         if not np.isfinite(loss_sum):
             raise SystemExit(f"Loss is not finite at epoch {epoch}")

@@ -738,11 +738,15 @@ class PretrainDataset:
     """RandomResizedCrop(384, scale=(0.2, 1.0), bicubic) + horizontal
     flip over train-split images (reference: util/FSC147.py:360-365)."""
 
-    def __init__(self, meta: FSC147Meta, split: str = "train", seed: int = 0):
+    def __init__(self, meta: FSC147Meta, split: str = "train", seed: int = 0,
+                 store=None):
         self.meta = meta
         self.ids = meta.splits[split]
         self.seed = seed
         self.epoch = 0
+        # resident-store mode (engine.train_store.PretrainStore): ship
+        # only the crop/flip parameters; pixels stay in HBM
+        self.store = store
         # the random crop samples the RAW image -> cache the decode
         self._cache = ImageCache()
 
@@ -752,17 +756,10 @@ class PretrainDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
-    def __getitem__(self, idx: int) -> Dict:
-        rng = _sample_rng(self.seed, self.epoch, idx)
-        cached = self._cache.get(self.ids[idx])
-        if cached is None:
-            img = self.meta.open_image(self.ids[idx])
-            self._cache.put(self.ids[idx], (np.asarray(img, np.uint8),))
-        else:
-            img = Image.fromarray(cached[0])
-        w0, h0 = img.size
-        # torchvision RandomResizedCrop sampling: 10 attempts of
-        # (area-scale, log-ratio), fallback to center crop.
+    @staticmethod
+    def sample_crop(rng, h0: int, w0: int):
+        """torchvision RandomResizedCrop sampling: 10 attempts of
+        (area-scale, log-ratio), fallback to center crop."""
         area = h0 * w0
         for _ in range(10):
             target = area * rng.uniform(0.2, 1.0)
@@ -772,11 +769,48 @@ class PretrainDataset:
             if 0 < cw <= w0 and 0 < ch <= h0:
                 left = int(rng.integers(0, w0 - cw + 1))
                 top = int(rng.integers(0, h0 - ch + 1))
-                break
+                return top, left, ch, cw
+        side = min(h0, w0)
+        return (h0 - side) // 2, (w0 - side) // 2, side, side
+
+    def _store_item(self, rng, idx: int) -> Dict:
+        """Parameters-only sample: the crop is drawn on the stored
+        geometry (smaller side normalized to 384; portraits stored
+        transposed — crop coords swap accordingly)."""
+        st = self.store
+        i = st.index[self.ids[idx]]
+        w = int(st.w_np[i])
+        transposed = int(st.t_np[i])
+        # original dims: landscape (384, w); portrait (w_orig=384,
+        # h_orig=w) stored transposed
+        h0, w0 = (w, IMG_SIZE) if transposed else (IMG_SIZE, w)
+        top, left, ch, cw = self.sample_crop(rng, h0, w0)
+        if transposed:
+            top, left, ch, cw = left, top, cw, ch
+        flip = int(rng.random() < 0.5)
+        return {
+            "img_idx": np.int32(i),
+            "crop_top": np.int32(top),
+            "crop_left": np.int32(left),
+            "crop_h": np.int32(ch),
+            "crop_w": np.int32(cw),
+            "transposed": np.int8(transposed),
+            "flip": np.int8(flip),
+            "name": self.ids[idx],
+        }
+
+    def __getitem__(self, idx: int) -> Dict:
+        rng = _sample_rng(self.seed, self.epoch, idx)
+        if self.store is not None:
+            return self._store_item(rng, idx)
+        cached = self._cache.get(self.ids[idx])
+        if cached is None:
+            img = self.meta.open_image(self.ids[idx])
+            self._cache.put(self.ids[idx], (np.asarray(img, np.uint8),))
         else:
-            side = min(h0, w0)
-            ch = cw = side
-            top, left = (h0 - side) // 2, (w0 - side) // 2
+            img = Image.fromarray(cached[0])
+        w0, h0 = img.size
+        top, left, ch, cw = self.sample_crop(rng, h0, w0)
         crop = img.crop((left, top, left + cw, top + ch)).resize(
             (IMG_SIZE, IMG_SIZE), Image.BICUBIC
         )

@@ -255,6 +255,29 @@ def make_pretrain_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_store_pretrain_step(model: MaskedAutoencoderViT, max_w: int):
+    """Resident-store MAE pretrain step: step(state, store_arrays,
+    batch, rng) — the RandomResizedCrop(384, bicubic) + flip happens on
+    device from per-sample crop scalars (engine.train_store
+    .materialize_pretrain_batch); per-step H2D is ~30 bytes/sample
+    instead of a 1.8 MB float image."""
+
+    def step_fn(state: TrainState, store_arrays, batch, rng):
+        from countr_tpu.engine.train_store import materialize_pretrain_batch
+
+        imgs = materialize_pretrain_batch(store_arrays, batch, max_w)
+
+        def loss_fn(params):
+            loss, _pred, _mask = model.apply({"params": params}, imgs, rng)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss}
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 # ---------------------------------------------------------------------------
 # Encoder transfer: MAE pretrain checkpoint -> counting model
 # ---------------------------------------------------------------------------

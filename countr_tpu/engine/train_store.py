@@ -315,6 +315,137 @@ def materialize_batch(store_arrays: Dict, batch: Dict):
 
 
 # ---------------------------------------------------------------------------
+# Pretrain resident store: RandomResizedCrop(384, bicubic) + flip
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PretrainStore:
+    """Resident store for MAE pretraining. Every image is normalized to
+    EXACTLY 384 rows (smaller side 384; portraits stored transposed) so
+    a flat-pool slice reshapes statically to [384, w]. The reference
+    crops the ~384-side images_384_VarV2 originals
+    (reference: util/FSC147.py:360-365 RandomResizedCrop(384, 0.2-1.0,
+    bicubic)); normalizing the smaller side to 384 first is a
+    distribution-level no-op for a scale-invariant crop."""
+
+    ids: List[str]
+    pixels: jax.Array  # [P, 3] uint8, rows of 384-row images
+    base: jax.Array  # [N] int32
+    width: jax.Array  # [N] int32 (stored width)
+    w_np: np.ndarray
+    t_np: np.ndarray  # 1 if stored transposed (original portrait)
+    max_w: int
+    index: Dict[str, int]
+
+    @property
+    def arrays(self) -> Dict[str, jax.Array]:
+        return {"pixels": self.pixels, "base": self.base, "width": self.width}
+
+
+def build_pretrain_store(meta, ids: List[str], log=print) -> PretrainStore:
+    from countr_tpu.data import transforms as T
+
+    n = len(ids)
+    bases = np.zeros(n, np.int64)
+    widths = np.zeros(n, np.int32)
+    tflags = np.zeros(n, np.int8)
+    chunks = []
+    off = 0
+    for i, im_id in enumerate(ids):
+        img = meta.open_image(im_id)
+        w0, h0 = img.size
+        if h0 <= w0:  # landscape: 384 rows
+            u8 = T.pil_resize_u8(img, IMG_SIZE, max(IMG_SIZE, round(w0 * IMG_SIZE / h0)))
+        else:  # portrait: resize W=384, store transposed
+            u8 = T.pil_resize_u8(img, max(IMG_SIZE, round(h0 * IMG_SIZE / w0)), IMG_SIZE)
+            u8 = np.ascontiguousarray(u8.transpose(1, 0, 2))
+            tflags[i] = 1
+        assert u8.shape[0] == IMG_SIZE
+        bases[i] = off
+        widths[i] = u8.shape[1]
+        off += IMG_SIZE * u8.shape[1]
+        chunks.append(u8.reshape(-1, 3))
+        if (i + 1) % 500 == 0:
+            log(f"pretrain store: decoded {i + 1}/{n}")
+    assert off < 2**31
+    max_w = int(widths.max())
+    # pad so the last image's static-size slice stays aligned
+    chunks.append(np.zeros((IMG_SIZE * max_w, 3), np.uint8))
+    pool = np.concatenate(chunks, axis=0)
+    log(f"pretrain store: {n} images, {pool.nbytes / 1e6:.0f} MB -> device")
+    return PretrainStore(
+        ids=list(ids), pixels=jax.device_put(pool),
+        base=jax.device_put(bases.astype(np.int32)),
+        width=jax.device_put(widths), w_np=widths.copy(), t_np=tflags,
+        max_w=max_w, index={im_id: i for i, im_id in enumerate(ids)},
+    )
+
+
+def _bicubic_kernel(x):
+    """PIL/torchvision bicubic (a = -0.5)."""
+    a = -0.5
+    ax = jnp.abs(x)
+    w1 = (a + 2.0) * ax**3 - (a + 3.0) * ax**2 + 1.0
+    w2 = a * ax**3 - 5.0 * a * ax**2 + 8.0 * a * ax - 4.0 * a
+    return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
+def _bicubic_band(n_src: int, start, length, out: int = IMG_SIZE):
+    """PIL antialiased-bicubic resize weights as a dense [n_src, out]
+    matrix, built in-jit from the crop scalars (start, length): PIL
+    scales the filter support by the downscale factor and renormalizes
+    over in-crop taps (reference resize: util/FSC147.py:362 bicubic)."""
+    scale = length.astype(jnp.float32) / out
+    fs = jnp.maximum(scale, 1.0)
+    j = jnp.arange(out, dtype=jnp.float32)[None, :]
+    i = jnp.arange(n_src, dtype=jnp.float32)[:, None]
+    center = start.astype(jnp.float32) + (j + 0.5) * scale
+    w = _bicubic_kernel((i + 0.5 - center) / fs)
+    in_crop = (
+        (i >= start.astype(jnp.float32))
+        & (i < (start + length).astype(jnp.float32))
+    )
+    w = w * in_crop.astype(jnp.float32)
+    return w / jnp.maximum(jnp.sum(w, axis=0, keepdims=True), 1e-8)
+
+
+def materialize_pretrain_batch(store_arrays: Dict, batch: Dict, max_w: int):
+    """RandomResizedCrop(384, bicubic) + hflip on device.
+
+    batch: img_idx [B] int32; top/left/ch/cw [B] int32 (crop in STORED
+    coords); transposed [B] int8; flip [B] int8. Returns [B,384,384,3]
+    float images."""
+    px = store_arrays["pixels"]
+    base = store_arrays["base"]
+    width = store_arrays["width"]
+
+    def one(idx, top, left, ch, cw, transposed, flip):
+        # per-row slab gather: rows have per-image stride, so a single
+        # big slice cannot be reshaped statically; columns >= the true
+        # width read spill pixels that the crop maps never sample
+        def row_slice(r):
+            return jax.lax.dynamic_slice_in_dim(
+                px, base[idx] + r * width[idx], max_w, axis=0
+            )
+
+        img = jax.vmap(row_slice)(jnp.arange(IMG_SIZE)).astype(jnp.float32) / 255.0
+        wy = _bicubic_band(IMG_SIZE, top, ch)  # [384_src, 384_out]
+        wx = _bicubic_band(max_w, left, cw)  # [max_w, 384_out]
+        prec = jax.lax.Precision.HIGHEST
+        out = jnp.einsum("yx...,yo->ox...", img, wy, precision=prec)
+        out = jnp.einsum("ox...,xj->oj...", out, wx, precision=prec)
+        out = jnp.where(transposed > 0, out.transpose(1, 0, 2), out)
+        out = jnp.where(flip > 0, out[:, ::-1], out)
+        return jnp.clip(out, 0.0, 1.0)
+
+    return jax.vmap(one)(
+        batch["img_idx"], batch["crop_top"], batch["crop_left"],
+        batch["crop_h"], batch["crop_w"], batch["transposed"], batch["flip"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Host parameter sampling (cheap; mirrors TrainDataset's draws)
 # ---------------------------------------------------------------------------
 

@@ -219,3 +219,105 @@ def test_store_step_end_to_end(store_fixture):
     assert np.isfinite(float(m["loss"]))
     leaves1 = [np.asarray(l) for l in jax.tree.leaves(state.params)]
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+
+
+# ---------------------------------------------------------------------------
+# Pretrain resident store
+# ---------------------------------------------------------------------------
+
+
+def test_pretrain_store_bicubic_matches_pil(store_fixture):
+    """Device RandomResizedCrop materialization == PIL crop+BICUBIC
+    resize (PIL quantizes u8 filter weights to 8 bits -> tolerance)."""
+    from PIL import Image as PILImage
+
+    meta, _ = store_fixture
+    ids = list(meta.splits["train"])
+    pstore = TS.build_pretrain_store(meta, ids, log=lambda *_: None)
+
+    for i, transposed_expected in [(0, False), (2, True)]:
+        # fixture sizes: img_0 400x500 (landscape), img_2 500x420
+        # (portrait: h>w -> stored transposed)
+        assert bool(pstore.t_np[i]) == transposed_expected
+        w = int(pstore.w_np[i])
+        # reconstruct the stored image and the ORIGINAL-orientation one
+        px = np.asarray(pstore.pixels)
+        base = int(np.asarray(pstore.base)[i])
+        stored = px[base : base + 384 * w].reshape(384, w, 3)
+        orig = stored.transpose(1, 0, 2) if transposed_expected else stored
+        h0, w0 = orig.shape[:2]
+        rng = np.random.default_rng(3)
+        for flip in (0, 1):
+            from countr_tpu.data.fsc147 import PretrainDataset
+
+            top, left, ch, cw = PretrainDataset.sample_crop(rng, h0, w0)
+            pil = PILImage.fromarray(orig).crop(
+                (left, top, left + cw, top + ch)
+            ).resize((384, 384), PILImage.BICUBIC)
+            want = np.asarray(pil, np.float32) / 255.0
+            if flip:
+                want = want[:, ::-1]
+            # device call with STORED-layout params
+            if transposed_expected:
+                b_top, b_left, b_ch, b_cw = left, top, cw, ch
+            else:
+                b_top, b_left, b_ch, b_cw = top, left, ch, cw
+            batch = {
+                "img_idx": jnp.asarray([i], jnp.int32),
+                "crop_top": jnp.asarray([b_top], jnp.int32),
+                "crop_left": jnp.asarray([b_left], jnp.int32),
+                "crop_h": jnp.asarray([b_ch], jnp.int32),
+                "crop_w": jnp.asarray([b_cw], jnp.int32),
+                "transposed": jnp.asarray([int(transposed_expected)], jnp.int8),
+                "flip": jnp.asarray([flip], jnp.int8),
+            }
+            got = np.asarray(
+                jax.jit(TS.materialize_pretrain_batch, static_argnums=(2,))(
+                    pstore.arrays, batch, pstore.max_w
+                )
+            )[0]
+            assert np.abs(got - want).mean() < 4e-3, (i, flip)
+            assert np.abs(got - want).max() < 0.06, (i, flip)
+
+
+def test_pretrain_store_step(store_fixture):
+    """Resident MAE pretrain step: finite loss on the CPU mesh."""
+    import dataclasses
+
+    from countr_tpu.config import MAE_PRESETS, TrainConfig
+    from countr_tpu.data.fsc147 import PretrainDataset
+    from countr_tpu.data.loader import DataLoader
+    from countr_tpu.engine.train import (
+        init_train_state, make_optimizer, make_store_pretrain_step,
+    )
+    from countr_tpu.models.mae import MaskedAutoencoderViT
+
+    meta, _ = store_fixture
+    pstore = TS.build_pretrain_store(
+        meta, list(meta.splits["train"]), log=lambda *_: None
+    )
+    ds = PretrainDataset(meta, seed=0, store=pstore)
+    dl = DataLoader(ds, 4, shuffle=True, num_workers=0, drop_last=True, seed=0)
+    batch = next(iter(dl.epoch(0)))
+    assert "image" not in batch and "crop_h" in batch
+
+    cfg = dataclasses.replace(
+        MAE_PRESETS["mae_vit_base_patch16"], embed_dim=32, depth=1,
+        num_heads=2, decoder_embed_dim=32, decoder_depth=1,
+        decoder_num_heads=2,
+    )
+    model = MaskedAutoencoderViT(cfg)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 384, 384, 3)), jax.random.key(1)
+    )["params"]
+    tcfg = TrainConfig(batch_size=4, epochs=2, warmup_epochs=0, lr=1e-4)
+    tx, _ = make_optimizer(tcfg, 1, 4)
+    state = init_train_state(params, tx)
+    step = make_store_pretrain_step(model, pstore.max_w)
+    dev = {k: jnp.asarray(batch[k]) for k in (
+        "img_idx", "crop_top", "crop_left", "crop_h", "crop_w",
+        "transposed", "flip",
+    )}
+    state, m = step(state, pstore.arrays, dev, jax.random.key(2))
+    state, m = step(state, pstore.arrays, dev, jax.random.key(3))
+    assert np.isfinite(float(m["loss"]))
