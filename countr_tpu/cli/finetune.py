@@ -220,14 +220,23 @@ def main(args):
             start_epoch = step + 1
             print(f"resumed epoch {start_epoch} from {last_dir}")
 
+    val_store = None
     if resident:
-        from countr_tpu.engine.train import make_store_finetune_step
+        from countr_tpu.engine.train import (
+            make_store_eval_step, make_store_finetune_step,
+        )
+        from countr_tpu.engine.train_store import build_val_store
 
         _store_step = make_store_finetune_step(model, tcfg)
         store_arrays = store.arrays
 
         def train_step(state, batch, rng, shot_num):
             return _store_step(state, store_arrays, batch, rng, shot_num)
+
+        # validation is resident too: the fixed 384^2 val samples would
+        # otherwise re-upload every epoch
+        val_store = build_val_store(val_ds)
+        store_eval = make_store_eval_step(model)
     else:
         train_step = make_finetune_step(model, tcfg, device_aug=device_aug)
     eval_step = make_eval_step(model)
@@ -298,7 +307,28 @@ def main(args):
         # last batch is padded up to the device multiple and the padding
         # sliced back off.
         v_err, v_sq, v_nae, v_n = 0.0, 0.0, 0.0, 0
-        for batch in val_dl.epoch(0):
+        if resident:
+            # resident val: index-gather batches from the HBM ValStore
+            varrs = val_store.arrays
+            vb = args.batch_size
+            for i0 in range(0, val_store.n, vb):
+                take_n = min(vb, val_store.n - i0)
+                idxs = np.arange(i0, i0 + vb) % val_store.n
+                valid = np.concatenate(
+                    [np.ones(take_n, np.float32),
+                     np.zeros(vb - take_n, np.float32)]
+                )
+                em = store_eval(
+                    state.params, varrs,
+                    jax.device_put(idxs.astype(np.int32), bsh),
+                    jax.device_put(valid, bsh),
+                    py_rng.randint(0, 3),
+                )
+                v_err += float(em["err_sum"])
+                v_sq += float(em["sq_sum"])
+                v_nae += float(em["nae_sum"])
+                v_n += int(em["n"])
+        for batch in (() if resident else val_dl.epoch(0)):
             true_n = batch["image"].shape[0]
             # pad the ragged tail up to the per-process device multiple
             # (n_dev/n_proc local devices each hold one shard of the

@@ -232,6 +232,34 @@ def make_eval_step(model: CounTR):
     return jax.jit(eval_fn, static_argnums=(2,))
 
 
+def make_store_eval_step(model: CounTR):
+    """Resident-store validation: eval(params, val_arrays, idxs, valid,
+    shot_num) gathers the fixed 384^2 val samples from HBM
+    (engine.train_store.ValStore) — per-epoch H2D is just the index
+    vectors instead of re-uploading the whole split every epoch
+    (reference val loop: FSC_finetune_cross.py:328-350)."""
+
+    def eval_fn(params, val_arrays, idxs, valid, shot_num: int):
+        imgs = jnp.take(
+            val_arrays["images"], idxs, axis=0
+        ).astype(jnp.float32) / 255.0
+        boxes = jnp.take(val_arrays["boxes"], idxs, axis=0)
+        out = model.apply({"params": params}, imgs, boxes, shot_num)
+        pred_cnt = jnp.sum(out, axis=(1, 2)) / DENSITY_SCALE
+        gt_cnt = jnp.take(val_arrays["gt_cnt"], idxs, axis=0)
+        err = jnp.abs(pred_cnt - gt_cnt)
+        nae = jnp.where(gt_cnt > 0, err / jnp.maximum(gt_cnt, 1e-9), 0.0)
+        v = valid.astype(jnp.float32)
+        return {
+            "err_sum": jnp.sum(err * v),
+            "sq_sum": jnp.sum(jnp.square(err) * v),
+            "nae_sum": jnp.sum(nae * v),
+            "n": jnp.sum(v),
+        }
+
+    return jax.jit(eval_fn, static_argnums=(4,))
+
+
 # ---------------------------------------------------------------------------
 # MAE pre-training step
 # ---------------------------------------------------------------------------

@@ -315,6 +315,54 @@ def materialize_batch(store_arrays: Dict, batch: Dict):
 
 
 # ---------------------------------------------------------------------------
+# Validation resident store (fixed 384^2 samples; per-epoch H2D = indices)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ValStore:
+    """Device-resident validation split: the per-epoch val loop
+    (reference: FSC_finetune_cross.py:328-350) re-uploads every image
+    each epoch; these are FIXED 384^2 samples, so they live in HBM and
+    eval batches are index gathers. Only the gt COUNT is needed (the
+    eval metrics never look at the density map)."""
+
+    images: jax.Array  # [N, 384, 384, 3] uint8 (u8-exact: PIL output)
+    boxes: jax.Array  # [N, 3, 64, 64, 3] f32 (float-resized crops)
+    gt_cnt: jax.Array  # [N] f32 (sum(gt_density)/60, sigma=4 val recipe)
+    n: int
+
+    @property
+    def arrays(self) -> Dict[str, jax.Array]:
+        return {"images": self.images, "boxes": self.boxes,
+                "gt_cnt": self.gt_cnt}
+
+
+def build_val_store(val_ds, log=print) -> ValStore:
+    """Materialize a ValDataset (data.fsc147.ValDataset preprocessing:
+    384^2 resize, sigma=4/radius=7 density, exemplar crops) once."""
+    n = len(val_ds)
+    images = np.zeros((n, IMG_SIZE, IMG_SIZE, 3), np.uint8)
+    boxes = np.zeros((n, MAX_SHOTS, EXEMPLAR_SIZE, EXEMPLAR_SIZE, 3), np.float32)
+    gt = np.zeros(n, np.float32)
+    from countr_tpu.config import DENSITY_SCALE
+
+    for i in range(n):
+        s = val_ds[i]
+        images[i] = np.clip(np.rint(s["image"] * 255.0), 0, 255)
+        boxes[i] = s["boxes"]
+        gt[i] = float(s["gt_density"].sum()) / DENSITY_SCALE
+        if (i + 1) % 200 == 0:
+            log(f"val store: {i + 1}/{n}")
+    log(f"val store: {n} samples, "
+        f"{(images.nbytes + boxes.nbytes) / 1e6:.0f} MB -> device")
+    return ValStore(
+        images=jax.device_put(images), boxes=jax.device_put(boxes),
+        gt_cnt=jax.device_put(gt), n=n,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pretrain resident store: RandomResizedCrop(384, bicubic) + flip
 # ---------------------------------------------------------------------------
 
