@@ -103,20 +103,18 @@ def _hue(img, shift):
     return jnp.clip(jnp.stack([r2, g2, b2], axis=-1), 0.0, 1.0)
 
 
-_PERMS = [
-    (a, b, c, d)
-    for a in range(4) for b in range(4) for c in range(4) for d in range(4)
-    if len({a, b, c, d}) == 4
-]
-
-
 def color_jitter(key, img,
                  brightness: float = 0.25, contrast: float = 0.15,
                  saturation: float = 0.15, hue: float = 0.15):
     """torchvision ColorJitter: each factor uniform around 1 (hue shift
     uniform in +-hue), ops applied in a random order (reference:
     util/FSC147.py:371-374). hue=0.15 is a fraction of a full turn in
-    cv2's convention (the host path scales by 360 deg)."""
+    cv2's convention (the host path scales by 360 deg).
+
+    The random order is a permutation applied as 4 sequential 4-way
+    switches (one traced body each) — a flat 24-permutation switch
+    compiles 24 copies of the whole chain and dominated the train-step
+    compile time."""
     kf, kp = jax.random.split(key)
     fb, fc, fs, fh = jax.random.uniform(kf, (4,))
     fb = max(0.0, 1.0 - brightness) + fb * ((1 + brightness) - max(0.0, 1 - brightness))
@@ -124,22 +122,18 @@ def color_jitter(key, img,
     fs = max(0.0, 1.0 - saturation) + fs * ((1 + saturation) - max(0.0, 1 - saturation))
     fh = (fh * 2.0 - 1.0) * hue
 
-    ops = (
+    branches = (
         lambda x: _brightness(x, fb),
         lambda x: _contrast(x, fc),
         lambda x: _saturation(x, fs),
         lambda x: _hue(x, fh),
     )
+    perm = jax.random.permutation(kp, 4)
 
-    def perm_branch(perm):
-        def apply(x):
-            for op_idx in perm:
-                x = ops[op_idx](x)
-            return x
-        return apply
+    def body(i, x):
+        return jax.lax.switch(perm[i], branches, x)
 
-    which = jax.random.randint(kp, (), 0, len(_PERMS))
-    return jax.lax.switch(which, [perm_branch(p) for p in _PERMS], img)
+    return jax.lax.fori_loop(0, 4, body, img)
 
 
 # ---------------------------------------------------------------------------
