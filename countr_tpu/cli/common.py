@@ -42,6 +42,11 @@ def add_model_args(p: argparse.ArgumentParser, default_model: str = "mae_vit_bas
                    help="force exact erf GELU even in bf16/mixed modes "
                         "(the bf16 fast path defaults to tanh GELU, whose "
                         "error is below bf16 rounding)")
+    p.add_argument("--unfreeze_encoder", action="store_true",
+                   help="train the ViT encoder too (the reference "
+                        "freezes it via torch.no_grad, "
+                        "models_mae_cross.py:204-205 — unfreezing is "
+                        "for training without a pretrained encoder)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (the TPU-side equivalent "
@@ -105,6 +110,9 @@ def build_counting_model(args) -> Tuple[object, dict]:
 
     apply_runtime_flags(args)
     dtype = parse_dtype(args.dtype)
+    kw = {}
+    if getattr(args, "unfreeze_encoder", False):
+        kw["freeze_encoder"] = False
     model = build_countr(
         args.model, dtype=dtype,
         head_dtype=parse_head_dtype(args.dtype),
@@ -114,6 +122,7 @@ def build_counting_model(args) -> Tuple[object, dict]:
         use_pallas_attention=dtype == jnp.bfloat16,
         approx_gelu=dtype == jnp.bfloat16
         and not getattr(args, "exact_gelu", False),
+        **kw,
     )
     cfg = model.cfg
 

@@ -60,6 +60,11 @@ def get_args():
                    help="process-pool data workers (GIL-free aug "
                         "on many-core hosts)")
     p.add_argument("--ckpt_every", default=50, type=int)
+    p.add_argument("--ckpt_last_every", default=1, type=int,
+                   help="epochs between crash-resume 'last' checkpoints "
+                        "(reference saves every epoch; raise on slow "
+                        "links — fetching a full-size TrainState is "
+                        "~1 GB)")
     p.add_argument("--do_resume", action="store_true",
                    help="resume full training state from output_dir")
     p.add_argument("--init_from_mae", default="", type=str,
@@ -402,16 +407,28 @@ def main(args):
             # from the primary host only); output_dir must be a shared
             # filesystem on multi-host pods. val_mae is a replicated
             # metric, so the minMAE branch agrees across processes.
-            host_state = jax.device_get(state)
-            if args.ckpt_every and epoch % args.ckpt_every == 0 and epoch != 0:
+            last_every = max(1, getattr(args, "ckpt_last_every", 1))
+            want_periodic = (
+                args.ckpt_every and epoch % args.ckpt_every == 0 and epoch != 0
+            )
+            want_last = (
+                epoch % last_every == 0 or epoch + 1 == args.epochs
+            )
+            want_min = val_mae < min_mae
+            host_state = (
+                jax.device_get(state)
+                if (want_periodic or want_last or want_min) else None
+            )
+            if want_periodic:
                 ckpt.save_checkpoint(
                     os.path.join(outdir, "ckpt_periodic"), epoch, host_state,
                     keep=5,
                 )
-            ckpt.save_checkpoint(
-                os.path.join(outdir, "ckpt_last"), epoch, host_state, keep=1
-            )
-            if val_mae < min_mae:
+            if want_last:
+                ckpt.save_checkpoint(
+                    os.path.join(outdir, "ckpt_last"), epoch, host_state, keep=1
+                )
+            if want_min:
                 min_mae = val_mae
                 ckpt.save_checkpoint(
                     os.path.join(outdir, "ckpt_minMAE"), epoch, host_state,

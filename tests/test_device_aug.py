@@ -104,6 +104,37 @@ def test_photometric_distribution(rng):
     assert abs(outs.mean() - 0.5) < 0.15
 
 
+def test_photometric_distribution_matches_host(rng):
+    """Distribution-level parity of the device photometric chain vs the
+    numpy/cv2 spec (transforms.gaussian_noise/color_jitter/
+    gaussian_blur): over many seeds, the ensemble mean image and the
+    per-sample deviation spread must agree."""
+    from countr_tpu.data import transforms as T
+
+    base = rng.uniform(0.2, 0.8, (48, 48, 3)).astype(np.float32)
+    n = 24
+    host = []
+    for i in range(n):
+        r = np.random.default_rng(100 + i)
+        x = T.gaussian_noise(r, base)
+        x = T.color_jitter(r, x)
+        x = T.gaussian_blur(r, x)
+        host.append(x)
+    host = np.stack(host)
+    fn = jax.jit(A.photometric)
+    dev = np.stack([
+        np.asarray(fn(jax.random.key(200 + i), jnp.asarray(base)))
+        for i in range(n)
+    ])
+    # ensemble mean: both chains are centered on the input
+    assert np.abs(host.mean(0) - dev.mean(0)).mean() < 0.05
+    # spread of the per-sample perturbation
+    h_dev = np.abs(host - base).mean(axis=(1, 2, 3))
+    d_dev = np.abs(dev - base).mean(axis=(1, 2, 3))
+    assert abs(h_dev.mean() - d_dev.mean()) < 0.035, (h_dev.mean(), d_dev.mean())
+    assert d_dev.mean() > 0.02  # the chain is actually perturbing
+
+
 def test_augment_batch_mosaic_flag(rng):
     """apply_photo=0 rows (mosaic) pass through exactly as u8/255."""
     imgs = rng.integers(0, 256, (2, 384, 384, 3), dtype=np.uint8)
