@@ -53,6 +53,10 @@ def get_args():
                    help="process-pool data workers (GIL-free aug "
                         "on many-core hosts)")
     p.add_argument("--ckpt_every", default=100, type=int)
+    p.add_argument("--ckpt_last_every", default=1, type=int,
+                   help="epochs between crash-resume 'last' checkpoints "
+                        "(a full-size MAE TrainState fetch is ~1.5 GB; "
+                        "raise on slow links)")
     p.add_argument("--do_resume", action="store_true")
     p.add_argument("--log_every", default=50, type=int,
                    help="steps between train loss/lr scalar logs "
@@ -277,7 +281,8 @@ def main(args):
                 os.path.join(outdir, "ckpt_periodic"), epoch,
                 jax.device_get(state), keep=5,
             )
-        if outdir:
+        last_every = max(1, getattr(args, "ckpt_last_every", 1))
+        if outdir and (epoch % last_every == 0 or epoch + 1 == args.epochs):
             ckpt.save_checkpoint(
                 os.path.join(outdir, "ckpt_last"), epoch,
                 jax.device_get(state), keep=1,
