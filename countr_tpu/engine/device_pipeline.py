@@ -95,7 +95,12 @@ def accumulate(
     starts: jnp.ndarray,  # [B] int32
     wcols: jnp.ndarray,  # [B, 384] f32 stitch weights (0 for padding)
 ) -> jnp.ndarray:
-    """Weighted scatter-add of window densities into per-image maps."""
+    """Weighted scatter-add of window densities into per-image maps.
+
+    Deliberately a fori_loop of contiguous-block read-modify-writes:
+    a single jnp .at[].add scatter with per-element indices measured
+    ~35% SLOWER end-to-end on v5e (TPU scatter is element-addressed;
+    dynamic_update_slice is a block copy)."""
 
     def body(i, den):
         upd = dens[i] * wcols[i][None, :]
