@@ -34,10 +34,14 @@ def add_model_args(p: argparse.ArgumentParser, default_model: str = "mae_vit_bas
                    help="model preset name (see countr_tpu.config.COUNTR_PRESETS)")
     p.add_argument("--resume", default="", type=str,
                    help=".pth checkpoint (reference format) or orbax dir")
-    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32", "mixed"],
+    p.add_argument("--dtype", default="bf16",
+                   choices=["bf16", "fp32", "mixed", "mixed_fast"],
                    help="compute dtype; fp32 gives bit-parity with the torch "
                         "reference; mixed = bf16 encoder/decoder + fp32 "
-                        "density head (cuts bf16 count error, ~same speed)")
+                        "density head (cuts bf16 count error ~5x at half "
+                        "speed); mixed_fast runs the fp32 head at "
+                        "Precision.HIGH (3-pass MXU) — mixed-level "
+                        "accuracy, faster")
     p.add_argument("--exact_gelu", action="store_true",
                    help="force exact erf GELU even in bf16/mixed modes "
                         "(the bf16 fast path defaults to tanh GELU, whose "
@@ -79,8 +83,8 @@ def parse_dtype(name: str):
 
 
 def parse_head_dtype(name: str):
-    """Density-head dtype override: only the mixed mode diverges."""
-    return jnp.float32 if name == "mixed" else None
+    """Density-head dtype override: the mixed modes keep it fp32."""
+    return jnp.float32 if name in ("mixed", "mixed_fast") else None
 
 
 def load_meta(args):
@@ -116,6 +120,7 @@ def build_counting_model(args) -> Tuple[object, dict]:
     model = build_countr(
         args.model, dtype=dtype,
         head_dtype=parse_head_dtype(args.dtype),
+        head_precision_high=args.dtype == "mixed_fast",
         # bf16 fast mode: fused Pallas attention/LayerNorm kernels and
         # tanh GELU (2.1x the fp32-op throughput at batch 32 on v5e,
         # scripts/profile_forward.py); fp32 keeps the exact parity ops.

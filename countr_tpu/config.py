@@ -71,6 +71,19 @@ class CounTRConfig:
     # mixed-precision mode runs a bf16 encoder/decoder under an fp32
     # head to cut bf16 count error (docs/PARITY.md).
     head_dtype: Optional[jnp.dtype] = None
+    # Per-stage overrides for precision bisection (None = ``dtype``):
+    # which bf16 stage contributes how much count error —
+    # scripts/eval_precision.py --bisect.
+    encoder_dtype: Optional[jnp.dtype] = None
+    decoder_dtype: Optional[jnp.dtype] = None
+    # mixed_fast: run the fp32 head's conv/upsample contractions at
+    # lax.Precision.HIGH (3-pass bf16 operand splitting, ~2^-18
+    # effective operand precision) instead of fp32's HIGHEST (6-pass).
+    # The head is the bf16 error source and its error is operand
+    # rounding, not accumulation (docs/PARITY.md bisection), so HIGH
+    # recovers near-fp32 counts at ~half the fp32-head cost. Only
+    # meaningful when the head dtype is fp32.
+    head_precision_high: bool = False
     # The reference always runs the encoder under torch.no_grad()
     # (reference: models_mae_cross.py:204-205), freezing it during
     # fine-tuning; stop_gradient reproduces that.

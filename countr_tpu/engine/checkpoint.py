@@ -363,8 +363,9 @@ def restore_checkpoint(directory: str, state: Any, step: int | None = None) -> A
 def restore_params(directory: str, params_template: Any, step: int | None = None) -> Any:
     """Restore ONLY the model params from any of our checkpoint
     layouts: a params-only checkpoint ({'params': ...}, written by
-    pretrain's ckpt_params) or a full TrainState checkpoint
-    (step/params/opt_state, written by the training loops). Returns a
+    pretrain's ckpt_params), a full TrainState checkpoint
+    (step/params/opt_state, written by the training loops), or a raw
+    params tree (save_checkpoint(dir, step, params)). Returns a
     {'params': ...} tree."""
     import orbax.checkpoint as ocp
 
@@ -376,13 +377,24 @@ def restore_params(directory: str, params_template: Any, step: int | None = None
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {directory}")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        restored = mgr.restore(
-            step,
-            args=ocp.args.PyTreeRestore(
-                item={"params": abstract}, partial_restore=True
-            ),
-        )
-        return {"params": restored["params"]}
+        try:
+            restored = mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(
+                    item={"params": abstract}, partial_restore=True
+                ),
+            )["params"]
+        except Exception:
+            restored = abstract
+        if any(
+            isinstance(leaf, jax.ShapeDtypeStruct)
+            for leaf in jax.tree.leaves(restored)
+        ):
+            # No top-level 'params' group in the checkpoint (a partial
+            # restore silently hands the abstract template back): the
+            # whole checkpoint IS the params tree.
+            restored = mgr.restore(step, args=ocp.args.PyTreeRestore(item=abstract))
+        return {"params": restored}
 
 
 def latest_step(directory: str) -> int | None:

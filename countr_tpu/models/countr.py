@@ -122,13 +122,25 @@ class DensityHead(nn.Module):
     + bilinear 2x}, final 1x1 conv to one channel
     (reference: models_mae_cross.py:80-100, :184-198). Note the 1x1 conv
     output is upsampled 192->384 *after* projection, exactly like the
-    reference's last F.interpolate."""
+    reference's last F.interpolate.
+
+    ``precision_high`` (the mixed_fast mode): fp32 conv/upsample
+    contractions run at Precision.HIGH (3-pass bf16 operand splitting)
+    instead of HIGHEST (6-pass) — near-fp32 counts at ~half the
+    fp32-head cost. A bf16-operand fp32-accumulate variant was measured
+    and rejected: the head's bf16 error IS the operand rounding, so it
+    bought no accuracy over plain bf16 (docs/PARITY.md)."""
 
     dtype: jnp.dtype = jnp.float32
+    precision_high: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        prec = matmul_precision(self.dtype)
+        prec = (
+            jax.lax.Precision.HIGH
+            if self.precision_high and self.dtype == jnp.float32
+            else matmul_precision(self.dtype)
+        )
 
         def stage(x, idx):
             x = nn.Conv(
@@ -145,13 +157,13 @@ class DensityHead(nn.Module):
         for idx in range(4):
             x = stage(x, idx)
             if idx < 3:
-                x = upsample2x_bilinear(x)
+                x = upsample2x_bilinear(x, precision=prec)
         x = nn.Conv(
             1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=torch_conv_kernel, bias_init=conv_bias_init(256),
             precision=prec, name="pred",
         )(x)
-        x = upsample2x_bilinear(x)
+        x = upsample2x_bilinear(x, precision=prec)
         return x[..., 0]  # [B, H, W]
 
 
@@ -162,20 +174,29 @@ class CounTR(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.patch_embed = PatchEmbed(cfg.patch_size, cfg.embed_dim, cfg.dtype)
+        enc_dt = cfg.encoder_dtype or cfg.dtype
+        dec_dt = cfg.decoder_dtype or cfg.dtype
+        # The fast-mode kernels (Pallas attention, tanh GELU) follow the
+        # stage dtype so a per-stage fp32 override stays bit-exact — the
+        # precision bisection relies on this (scripts/eval_precision.py).
+        enc_pallas = cfg.use_pallas_attention and enc_dt == jnp.bfloat16
+        dec_pallas = cfg.use_pallas_attention and dec_dt == jnp.bfloat16
+        enc_gelu = cfg.approx_gelu and enc_dt == jnp.bfloat16
+        dec_gelu = cfg.approx_gelu and dec_dt == jnp.bfloat16
+        self.patch_embed = PatchEmbed(cfg.patch_size, cfg.embed_dim, enc_dt)
         self.blocks = [
             Block(
-                cfg.num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
-                use_pallas=cfg.use_pallas_attention,
-                approx_gelu=cfg.approx_gelu, name=f"blocks_{i}",
+                cfg.num_heads, cfg.mlp_ratio, cfg.ln_eps, enc_dt,
+                use_pallas=enc_pallas,
+                approx_gelu=enc_gelu, name=f"blocks_{i}",
             )
             for i in range(cfg.depth)
         ]
-        self.norm = LayerNorm(cfg.ln_eps, cfg.dtype, name="norm")
+        self.norm = LayerNorm(cfg.ln_eps, enc_dt, name="norm")
         self.decoder_embed = nn.Dense(
-            cfg.decoder_embed_dim, dtype=cfg.dtype, param_dtype=jnp.float32,
+            cfg.decoder_embed_dim, dtype=dec_dt, param_dtype=jnp.float32,
             kernel_init=xavier_uniform,
-            precision=matmul_precision(cfg.dtype), name="decoder_embed",
+            precision=matmul_precision(dec_dt), name="decoder_embed",
         )
         self.shot_token = self.param(
             "shot_token",
@@ -184,19 +205,20 @@ class CounTR(nn.Module):
             jnp.float32,
         )
         self.exemplar_encoder = ExemplarEncoder(
-            cfg.decoder_embed_dim, cfg.dtype, name="exemplar_encoder"
+            cfg.decoder_embed_dim, dec_dt, name="exemplar_encoder"
         )
         self.decoder_blocks = [
             CrossAttentionBlock(
-                cfg.decoder_num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
-                use_pallas=cfg.use_pallas_attention,
-                approx_gelu=cfg.approx_gelu, name=f"decoder_blocks_{i}",
+                cfg.decoder_num_heads, cfg.mlp_ratio, cfg.ln_eps, dec_dt,
+                use_pallas=dec_pallas,
+                approx_gelu=dec_gelu, name=f"decoder_blocks_{i}",
             )
             for i in range(cfg.decoder_depth)
         ]
-        self.decoder_norm = LayerNorm(cfg.ln_eps, cfg.dtype, name="decoder_norm")
+        self.decoder_norm = LayerNorm(cfg.ln_eps, dec_dt, name="decoder_norm")
         self.density_head = DensityHead(
-            cfg.head_dtype or cfg.dtype, name="density_head"
+            cfg.head_dtype or cfg.dtype,
+            precision_high=cfg.head_precision_high, name="density_head",
         )
         # Fixed (non-learned) sin-cos position embeddings
         # (reference: models_mae_cross.py:30,42,111-115).
@@ -224,9 +246,10 @@ class CounTR(nn.Module):
         cfg = self.cfg
         if shot_num == 0:
             return jnp.broadcast_to(
-                self.shot_token.astype(cfg.dtype), (b, 1, cfg.decoder_embed_dim)
+                self.shot_token.astype(cfg.decoder_dtype or cfg.dtype),
+                (b, 1, cfg.decoder_embed_dim)
             )
-        sel = boxes[:, :shot_num].astype(cfg.dtype)
+        sel = boxes[:, :shot_num].astype(cfg.decoder_dtype or cfg.dtype)
         flat = sel.reshape(b * shot_num, *boxes.shape[2:])
         feats = self.exemplar_encoder(flat)
         return feats.reshape(b, shot_num, cfg.decoder_embed_dim)

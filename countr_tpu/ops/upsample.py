@@ -48,16 +48,18 @@ def _up2x_matrix(n: int) -> np.ndarray:
     return w
 
 
-def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+def upsample2x_bilinear(x: jnp.ndarray, precision=None) -> jnp.ndarray:
     """2x bilinear upsample of NHWC input, align_corners=False exact.
 
     One matmul per spatial axis; fp32 inputs contract at HIGHEST
     precision (exact 2-tap sums — passes the torch-oracle parity test
     at fp32), bf16 inputs take the single-pass MXU path with fp32
-    accumulation.
+    accumulation. ``precision`` overrides (the mixed_fast head passes
+    HIGH; the 0.25/0.75 taps are exact bf16, so HIGH's x-split passes
+    are near-exact at ~half the HIGHEST cost).
     """
     n, h, w, c = x.shape
-    prec = (
+    prec = precision if precision is not None else (
         jax.lax.Precision.HIGHEST
         if x.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT

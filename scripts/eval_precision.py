@@ -15,6 +15,10 @@ Modes:
   fp32  — exact ops, Precision.HIGHEST (torch-oracle bit parity)
   bf16  — Pallas attention + fused LN + tanh GELU (fast mode)
   mixed — bf16 trunk, fp32 density head (accuracy/speed middle ground)
+
+--bisect instead lowers ONE stage at a time to bf16 (encoder /
+decoder / density head, fast-mode kernels following the stage) to
+attribute the bf16 count error to its source stage.
 """
 
 import argparse
@@ -62,6 +66,9 @@ def main():
     p.add_argument("--batch", default=8, type=int)
     p.add_argument("--batch_windows", default=32, type=int)
     p.add_argument("--skip_throughput", action="store_true")
+    p.add_argument("--bisect", action="store_true",
+                   help="lower one stage at a time to bf16 instead of "
+                        "the fp32/bf16/mixed ladder")
     args = p.parse_args()
 
     import jax
@@ -88,11 +95,30 @@ def main():
                 "mae_vit_base6_patch16", dtype=jnp.bfloat16,
                 use_pallas_attention=True, approx_gelu=True, **kw,
             )
+        if mode == "mixed":
+            return build_countr(
+                "mae_vit_base6_patch16", dtype=jnp.bfloat16,
+                head_dtype=jnp.float32, use_pallas_attention=True,
+                approx_gelu=True, **kw,
+            )
+        if mode == "mixed_fast":
+            return build_countr(
+                "mae_vit_base6_patch16", dtype=jnp.bfloat16,
+                head_dtype=jnp.float32, head_precision_high=True,
+                use_pallas_attention=True, approx_gelu=True, **kw,
+            )
+        # Bisect modes: fp32 everywhere except ONE bf16 stage, whose
+        # fast-mode kernels (Pallas attn, tanh GELU) engage with it.
+        stage = {"enc16": dict(encoder_dtype=jnp.bfloat16),
+                 "dec16": dict(decoder_dtype=jnp.bfloat16),
+                 "head16": dict(head_dtype=jnp.bfloat16)}[mode]
         return build_countr(
-            "mae_vit_base6_patch16", dtype=jnp.bfloat16,
-            head_dtype=jnp.float32, use_pallas_attention=True,
-            approx_gelu=True, **kw,
+            "mae_vit_base6_patch16", dtype=jnp.float32,
+            use_pallas_attention=True, approx_gelu=True, **stage, **kw,
         )
+
+    modes = ("fp32", "enc16", "dec16", "head16") if args.bisect \
+        else ("fp32", "bf16", "mixed", "mixed_fast")
 
     # ------------------------------------------------------------------
     # Trained weights: restore, or train once and save.
@@ -156,7 +182,7 @@ def main():
     gts = [t[4] for t in test]
 
     results = {}
-    for mode in ("fp32", "bf16", "mixed"):
+    for mode in modes:
         model = build(mode)
         engine = CountingEngine(
             model, {"params": params}, batch_windows=args.batch_windows
@@ -175,7 +201,7 @@ def main():
     ref = results["fp32"]["counts"]
     ref_raw = results["fp32"]["raw"]
     table = {}
-    for mode in ("fp32", "bf16", "mixed"):
+    for mode in modes:
         counts = results[mode]["counts"]
         raw = results[mode]["raw"]
         rel = np.abs(counts - ref) / np.maximum(np.abs(ref), 1e-6)
@@ -197,12 +223,11 @@ def main():
             )),
         }
 
-    print("per-image: gt | fp32 | bf16 | mixed")
+    print("per-image: gt | " + " | ".join(modes))
     for i in range(len(gts)):
         print(
-            f"  {gts[i]:4d} | {results['fp32']['raw'][i]:8.3f} | "
-            f"{results['bf16']['raw'][i]:8.3f} | "
-            f"{results['mixed']['raw'][i]:8.3f}"
+            f"  {gts[i]:4d} | "
+            + " | ".join(f"{results[m]['raw'][i]:8.3f}" for m in modes)
         )
 
     # ------------------------------------------------------------------
@@ -216,12 +241,12 @@ def main():
 
         bw = args.batch_windows
         win = jnp.asarray(rng.uniform(0, 1, (bw, 384, 384, 3)), jnp.float32)
-        for mode in ("fp32", "bf16", "mixed"):
+        for mode in modes:
             model = results[mode]["model"]
             ny = 3
             c = model.cfg.decoder_embed_dim
-            y = jnp.asarray(rng.uniform(-1, 1, (bw, ny, c)),
-                            jnp.float32 if mode == "fp32" else jnp.bfloat16)
+            dec_dt = model.cfg.decoder_dtype or model.cfg.dtype
+            y = jnp.asarray(rng.uniform(-1, 1, (bw, ny, c)), dec_dt)
 
             def looped(imgs, p, y, model=model):
                 def body(carry, _):

@@ -63,6 +63,22 @@ def test_restore_params_from_trainstate(rng, tmp_path):
         np.asarray(params["params"]["shot_token"]),
     )
 
+    # and from a RAW params tree (save_checkpoint(dir, step, params) with
+    # no wrapper — scripts save this). A partial restore silently returns
+    # ShapeDtypeStructs here; restore_params must detect that and fall
+    # back to restoring the whole checkpoint as params.
+    d3 = str(tmp_path / "raw")
+    save_checkpoint(d3, 0, jax.device_get(params["params"]))
+    restored3 = restore_params(d3, params)
+    assert not any(
+        isinstance(leaf, jax.ShapeDtypeStruct)
+        for leaf in jax.tree.leaves(restored3)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored3["params"]["shot_token"]),
+        np.asarray(params["params"]["shot_token"]),
+    )
+
 
 def test_pth_save_load_roundtrip(rng, tmp_path):
     sd = make_countr_state_dict(rng, embed_dim=64, depth=1, dec_dim=32, dec_depth=1)

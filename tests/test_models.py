@@ -117,3 +117,39 @@ def test_mae_forward_and_loss():
     target = patchify(imgs, 16)
     per_patch = np.mean((np.asarray(pred) - np.asarray(target)) ** 2, axis=-1)
     np.testing.assert_allclose(float(loss), per_patch.mean(), rtol=1e-5)
+
+
+def test_per_stage_dtype_overrides_param_tree_and_accuracy(rng):
+    """encoder_dtype/decoder_dtype bisect overrides and the mixed_fast
+    head (head fp32, bf16 conv operands) must keep the param tree
+    byte-compatible with the fp32 model and stay close to the fp32
+    forward (the override changes compute precision, never params)."""
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0, 1, (1, 3, 64, 64, 3)), jnp.float32)
+
+    base = CounTR(TINY)
+    params = _init(base, imgs, boxes, 3)
+    ref = np.asarray(base.apply(params, imgs, boxes, 3))
+
+    variants = {
+        "enc16": dataclasses.replace(TINY, encoder_dtype=jnp.bfloat16),
+        "dec16": dataclasses.replace(TINY, decoder_dtype=jnp.bfloat16),
+    }
+    for name, cfg in variants.items():
+        out = CounTR(cfg).apply(params, imgs, boxes, 3)
+        assert out.dtype == jnp.float32
+        rel = np.abs(np.asarray(out) - ref).max() / max(np.abs(ref).max(), 1e-6)
+        assert rel < 0.1, f"{name} diverged: {rel}"
+
+    # mixed_fast head (fp32 at Precision.HIGH): same param tree, output
+    # near-identical to fp32 (CPU executes HIGH as plain fp32; on TPU
+    # it is the 3-pass bf16 split, ~2^-18 operand rounding).
+    mf = CounTR(dataclasses.replace(TINY, head_precision_high=True))
+    shapes = jax.eval_shape(lambda: _init(mf, imgs, boxes, 3))
+    want = jax.tree.map(lambda x: (x.shape, str(x.dtype)), params)
+    got = jax.tree.map(lambda x: (x.shape, str(x.dtype)), shapes)
+    assert want == got
+    out = mf.apply(params, imgs, boxes, 3)
+    assert out.dtype == jnp.float32
+    rel = np.abs(np.asarray(out) - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert rel < 1e-3
