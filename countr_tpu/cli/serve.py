@@ -35,6 +35,13 @@ def get_args():
     p.add_argument("--batch_wait_ms", default=5.0, type=float,
                    help="micro-batching window")
     p.add_argument("--no_normalization", action="store_true")
+    p.add_argument("--warmup_sizes", default="", type=str,
+                   help="comma list of WxH image sizes (original pixels) to "
+                        "pre-compile before accepting traffic: for each "
+                        "size, every upload-row bucket and shot count the "
+                        "service can hit is run once, so no request ever "
+                        "pays an XLA compile (grid mode excluded — tiny "
+                        "exemplars still compile on first encounter)")
     return p.parse_args()
 
 
@@ -180,6 +187,37 @@ def serve(args, engine):
     return server
 
 
+def warmup(engine, sizes: str, max_batch: int) -> None:
+    """Pre-compile every (row-bucket, width-bucket, shot) combo the
+    micro-batcher can produce for the given image sizes. The engine
+    buckets upload rows to powers of two (CountingEngine._row_bucket)
+    and pads window chunks to batch_windows, so running one batch per
+    distinct row bucket covers all steady-state shapes."""
+    import numpy as np
+
+    from countr_tpu.data import transforms as T
+
+    buckets = sorted({engine._row_bucket(n) for n in range(1, max_batch + 1)})
+    for part in sizes.split(","):
+        w0, h0 = (int(v) for v in part.lower().split("x"))
+        nh, nw = T.test_size(h0, w0)
+        img = np.zeros((nh, nw, 3), np.uint8)
+        rects = [[10, 10, 60, 60], [80, 80, 140, 140], [200, 200, 260, 260]]
+        boxes = T.crop_exemplars(img.astype(np.float32) / 255.0, rects, max_boxes=3)
+        for nb in buckets:
+            for shot, bx, rc in ((3, boxes, rects), (0, None, [])):
+                t0 = time.perf_counter()
+                engine.count_batch(
+                    [img] * nb, [bx] * nb, [rc] * nb, shot_num=shot,
+                    return_density=False,
+                )
+                print(
+                    f"warmup {w0}x{h0} batch {nb} shot {shot}: "
+                    f"{time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
+
+
 def main(args):
     from countr_tpu.engine.inference import CountingEngine
 
@@ -188,6 +226,8 @@ def main(args):
         model, params, batch_windows=args.batch_windows,
         normalization=not args.no_normalization,
     )
+    if args.warmup_sizes:
+        warmup(engine, args.warmup_sizes, args.max_batch_images)
     serve(args, engine).serve_forever()
 
 

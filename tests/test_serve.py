@@ -84,3 +84,28 @@ def test_count_bad_payload(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "error" in json.load(e)
+
+
+def test_warmup_covers_buckets(rng):
+    """--warmup_sizes must pre-run every row bucket and shot count the
+    micro-batcher can produce (so no request pays a compile later)."""
+    from countr_tpu.cli import serve as serve_mod
+
+    model = CounTR(CFG)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 384, 384, 3)),
+        jnp.zeros((1, 3, 64, 64, 3)), 3,
+    )
+    engine = CountingEngine(model, params, batch_windows=4)
+    calls = []
+    orig = engine.count_batch
+
+    def spy(images, boxes, rects, shot_num, **kw):
+        calls.append((len(images), shot_num))
+        return orig(images, boxes, rects, shot_num=shot_num, **kw)
+
+    engine.count_batch = spy
+    serve_mod.warmup(engine, "512x384", max_batch=8)
+    buckets = sorted({engine._row_bucket(n) for n in range(1, 9)})
+    want = {(nb, s) for nb in buckets for s in (3, 0)}
+    assert set(calls) == want
