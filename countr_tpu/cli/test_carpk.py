@@ -27,6 +27,14 @@ def get_args():
     p.add_argument("--batch_images", default=8, type=int)
     p.add_argument("--batch_windows", default=32, type=int)
     p.add_argument("--limit", default=0, type=int)
+    p.add_argument("--expect_mae", default=None, type=float,
+                   help="acceptance gate: exit nonzero unless MAE is "
+                        "within --expect_tol_pct of this value "
+                        "(reference released-weights bar: MAE 5.75, "
+                        "README.md:117-120)")
+    p.add_argument("--expect_rmse", default=None, type=float,
+                   help="acceptance gate on RMSE (reference: 7.45)")
+    p.add_argument("--expect_tol_pct", default=2.0, type=float)
     return p.parse_args()
 
 
@@ -73,6 +81,17 @@ def main(args):
     print(f"CARPK: MAE {stats['MAE']:.2f} RMSE {stats['RMSE']:.2f}")
     if outdir:
         JsonlLogger(outdir).write(stats)
+    from countr_tpu.cli.test import check_expectations
+
+    failures = check_expectations(stats, args)
+    if failures:
+        for f in failures:
+            print(f"ACCEPTANCE FAILURE: {f}", flush=True)
+        raise SystemExit(3)
+    if getattr(args, "expect_mae", None) is not None or getattr(
+        args, "expect_rmse", None
+    ) is not None:
+        print("acceptance gate passed", flush=True)
     return stats
 
 

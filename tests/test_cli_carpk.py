@@ -51,3 +51,20 @@ def test_cli_test_carpk(carpk_dir, tmp_path):  # noqa: F811
     stats = test_carpk.main(args)
     assert np.isfinite(stats["MAE"]) and np.isfinite(stats["RMSE"])
     assert os.path.exists(os.path.join(out, "log.txt"))
+
+
+def test_cli_test_carpk_gate(carpk_dir, tmp_path):  # noqa: F811
+    """--expect_mae gate: generous bound passes, impossible bound exits 3."""
+    from countr_tpu.cli import test_carpk
+
+    base = dict(
+        model="tiny384", resume="", dtype="fp32", seed=0,
+        carpk_root=carpk_dir, output_dir=str(tmp_path / "g"),
+        batch_images=2, batch_windows=4, limit=0, expect_tol_pct=2.0,
+        expect_rmse=None,
+    )
+    stats = test_carpk.main(argparse.Namespace(**base, expect_mae=1e9))
+    assert np.isfinite(stats["MAE"])
+    with pytest.raises(SystemExit) as exc:
+        test_carpk.main(argparse.Namespace(**base, expect_mae=1e-9))
+    assert exc.value.code == 3
