@@ -40,6 +40,11 @@ def get_args():
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--limit_steps", default=0, type=int)
     p.add_argument("--n_devices", default=1, type=int)
+    p.add_argument("--resident_data", action="store_true",
+                   help="keep the decoded train split in HBM and run the "
+                        "resize/crop/density/exemplar prep on device "
+                        "(engine.carpk_store); host ships ~1.5 KB/sample "
+                        "of geometry instead of ~2.3 MB of pixels")
     return p.parse_args()
 
 
@@ -79,12 +84,24 @@ def main(args):
     outdir = common.ensure_outdir(args)
     jsonl = JsonlLogger(outdir)
 
-    ds = _TrainAdapter(load_carpk("train", args.carpk_root), args.seed)
-    dl = DataLoader(
-        ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
-        drop_last=True, seed=args.seed,
-    )
-    steps_per_epoch = min(len(dl), args.limit_steps or len(dl))
+    src = load_carpk("train", args.carpk_root)
+    resident = getattr(args, "resident_data", False)
+    store = None
+    if resident:
+        from countr_tpu.engine.carpk_store import build_carpk_store
+
+        store = build_carpk_store(src)
+        steps_per_epoch = len(src) // args.batch_size
+        dl = None
+    else:
+        ds = _TrainAdapter(src, args.seed)
+        dl = DataLoader(
+            ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
+            drop_last=True, seed=args.seed,
+        )
+        steps_per_epoch = len(dl)
+    steps_per_epoch = min(steps_per_epoch, args.limit_steps or steps_per_epoch)
+    steps_per_epoch = max(steps_per_epoch, 1)
 
     # Unmasked MSE: the reference's pixel mask is commented out for
     # CARPK (reference: FSC_finetune_CARPK.py:250-252) — loss_mask_p=1.
@@ -104,22 +121,49 @@ def main(args):
     mesh = get_mesh(args.n_devices or None)
     bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
     state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
-    step = make_finetune_step(model, tcfg)
+    if resident:
+        from countr_tpu.engine.carpk_store import exemplar_geometry
+        from countr_tpu.engine.train import make_carpk_store_step
 
-    def put(b):
-        return {
-            k: jax.device_put(b[k], bsh)
-            for k in ("image", "gt_density", "boxes")
-        }
+        _store_step = make_carpk_store_step(model, tcfg)
+        store_arrays = store.arrays
+        host_rng = np.random.default_rng(args.seed)
+
+        def resident_batches(epoch):
+            order = np.random.default_rng(
+                np.random.SeedSequence([args.seed, epoch])
+            ).permutation(store.n_images)
+            for base in range(0, store.n_images - args.batch_size + 1,
+                              args.batch_size):
+                idxs = order[base : base + args.batch_size]
+                geo = exemplar_geometry(host_rng, store, idxs)
+                geo["img_idx"] = idxs.astype(np.int32)
+                yield {k: jax.device_put(v, bsh) for k, v in geo.items()}
+    else:
+        step = make_finetune_step(model, tcfg)
+
+        def put(b):
+            return {
+                k: jax.device_put(b[k], bsh)
+                for k in ("image", "gt_density", "boxes")
+            }
 
     for epoch in range(args.epochs):
         t0 = time.time()
         step_metrics, n = [], 0
-        for batch in device_prefetch(dl.epoch(epoch), put=put):
+        it = (
+            resident_batches(epoch)
+            if resident
+            else device_prefetch(dl.epoch(epoch), put=put)
+        )
+        for batch in it:
             if args.limit_steps and n >= args.limit_steps:
                 break
             rng = jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + n)
-            state, m = step(state, batch, rng, 1)  # shot_num=1
+            if resident:
+                state, m = _store_step(state, store_arrays, batch, rng)
+            else:
+                state, m = step(state, batch, rng, 1)  # shot_num=1
             step_metrics.append(m)
             n += 1
             if n % 32 == 0:

@@ -206,6 +206,28 @@ def make_store_finetune_step(
     return jax.jit(step_fn, static_argnums=(4,), donate_argnums=(0,))
 
 
+def make_carpk_store_step(model: CounTR, cfg: TrainConfig) -> Callable:
+    """Resident CARPK fine-tune step: step(state, store_arrays, batch,
+    rng) -> (state, metrics). The batch carries only an image index and
+    the random exemplar's crop maps (engine.carpk_store); the 384x384
+    resize+crop, density synthesis, and exemplar resize all run in-step
+    from the resident uint8 originals. shot_num is fixed at 1 and the
+    loss is unmasked (cfg.loss_mask_p=1), matching the reference
+    (reference: FSC_finetune_CARPK.py:242, :250-252)."""
+
+    def step_fn(state: TrainState, store_arrays, batch, rng):
+        from countr_tpu.engine.carpk_store import materialize_carpk_batch
+        from countr_tpu.ops.augment import density_from_dots
+
+        imgs, boxes = materialize_carpk_batch(store_arrays, batch)
+        dots = jnp.take(store_arrays["dots"], batch["img_idx"], axis=0)
+        nd = jnp.take(store_arrays["n_dots"], batch["img_idx"], axis=0)
+        gt = jax.vmap(density_from_dots)(dots, nd)
+        return _finetune_core(model, cfg, state, imgs, gt, boxes, rng, 1)
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 def make_eval_step(model: CounTR):
     """jitted eval(params, batch, shot_num) -> masked error SUMS
     (reference val loop: FSC_finetune_cross.py:328-350).

@@ -68,3 +68,20 @@ def test_cli_test_carpk_gate(carpk_dir, tmp_path):  # noqa: F811
     with pytest.raises(SystemExit) as exc:
         test_carpk.main(argparse.Namespace(**base, expect_mae=1e-9))
     assert exc.value.code == 3
+
+
+def test_cli_finetune_carpk_resident(carpk_dir, tmp_path):  # noqa: F811
+    from countr_tpu.cli import finetune_carpk
+
+    out = str(tmp_path / "carpk_ft_res")
+    args = argparse.Namespace(
+        model="tiny384", resume="", dtype="fp32", seed=0,
+        carpk_root=carpk_dir, output_dir=out, batch_size=2, epochs=1,
+        warmup_epochs=1, blr=2e-4, lr=None, weight_decay=0.05,
+        accum_iter=1, num_workers=2, limit_steps=1, n_devices=2,
+        resident_data=True,
+    )
+    finetune_carpk.main(args)
+    rec = json.loads(open(os.path.join(out, "log.txt")).read().splitlines()[-1])
+    assert rec["train/loss"] > 0
+    assert os.path.isdir(os.path.join(out, "ckpt_last"))
