@@ -40,8 +40,11 @@ def get_args():
                         "pre-compile before accepting traffic: for each "
                         "size, every upload-row bucket and shot count the "
                         "service can hit is run once, so no request ever "
-                        "pays an XLA compile (grid mode excluded — tiny "
-                        "exemplars still compile on first encounter)")
+                        "pays an XLA compile")
+    p.add_argument("--warmup_grid", action="store_true",
+                   help="also pre-compile the 3x3 grid-mode path (tiny "
+                        "exemplars) for each warmup size, alone and mixed "
+                        "with plain images")
     return p.parse_args()
 
 
@@ -187,12 +190,15 @@ def serve(args, engine):
     return server
 
 
-def warmup(engine, sizes: str, max_batch: int) -> None:
+def warmup(engine, sizes: str, max_batch: int, grid: bool = False) -> None:
     """Pre-compile every (row-bucket, width-bucket, shot) combo the
     micro-batcher can produce for the given image sizes. The engine
     buckets upload rows to powers of two (CountingEngine._row_bucket)
     and pads window chunks to batch_windows, so running one batch per
-    distinct row bucket covers all steady-state shapes."""
+    distinct row bucket covers all steady-state shapes. With ``grid``,
+    one grid-mode image (9 density rows) is also run alone and mixed
+    into each plain-batch bucket, covering the resampled-extraction
+    compiles tiny-exemplar requests would otherwise pay."""
     import numpy as np
 
     from countr_tpu.data import transforms as T
@@ -202,8 +208,9 @@ def warmup(engine, sizes: str, max_batch: int) -> None:
         w0, h0 = (int(v) for v in part.lower().split("x"))
         nh, nw = T.test_size(h0, w0)
         img = np.zeros((nh, nw, 3), np.uint8)
+        img_f = img.astype(np.float32) / 255.0
         rects = [[10, 10, 60, 60], [80, 80, 140, 140], [200, 200, 260, 260]]
-        boxes = T.crop_exemplars(img.astype(np.float32) / 255.0, rects, max_boxes=3)
+        boxes = T.crop_exemplars(img_f, rects, max_boxes=3)
         for nb in buckets:
             for shot, bx, rc in ((3, boxes, rects), (0, None, [])):
                 t0 = time.perf_counter()
@@ -213,6 +220,24 @@ def warmup(engine, sizes: str, max_batch: int) -> None:
                 )
                 print(
                     f"warmup {w0}x{h0} batch {nb} shot {shot}: "
+                    f"{time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
+        if grid:
+            # <10x10 px exemplars trigger the 3x3 grid path
+            # (reference: FSC_test_cross(few-shot).py:264-284)
+            tiny = [[10, 10, 15, 15], [30, 30, 36, 36], [50, 50, 55, 55]]
+            tboxes = T.crop_exemplars(img_f, tiny, max_boxes=3)
+            for nb in sorted({1, *buckets}):
+                t0 = time.perf_counter()
+                engine.count_batch(
+                    [img] * nb,
+                    [tboxes] + [boxes] * (nb - 1),
+                    [tiny] + [rects] * (nb - 1),
+                    shot_num=3, return_density=False,
+                )
+                print(
+                    f"warmup {w0}x{h0} grid+{nb - 1} plain: "
                     f"{time.perf_counter() - t0:.1f}s",
                     flush=True,
                 )
@@ -227,7 +252,8 @@ def main(args):
         normalization=not args.no_normalization,
     )
     if args.warmup_sizes:
-        warmup(engine, args.warmup_sizes, args.max_batch_images)
+        warmup(engine, args.warmup_sizes, args.max_batch_images,
+               grid=getattr(args, "warmup_grid", False))
     serve(args, engine).serve_forever()
 
 

@@ -109,3 +109,32 @@ def test_warmup_covers_buckets(rng):
     buckets = sorted({engine._row_bucket(n) for n in range(1, 9)})
     want = {(nb, s) for nb in buckets for s in (3, 0)}
     assert set(calls) == want
+
+
+def test_warmup_grid_covers_grid_path(rng):
+    """--warmup_grid must run grid-mode batches (alone + mixed) so
+    tiny-exemplar requests never pay the resampled-path compile."""
+    from countr_tpu.cli import serve as serve_mod
+
+    model = CounTR(CFG)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 384, 384, 3)),
+        jnp.zeros((1, 3, 64, 64, 3)), 3,
+    )
+    engine = CountingEngine(model, params, batch_windows=4)
+    grid_calls = []
+    orig = engine.count_batch
+
+    def spy(images, boxes, rects, shot_num, **kw):
+        n_tiny = sum(
+            1 for r in rects
+            if r and r[0][2] - r[0][0] < 10 and r[0][3] - r[0][1] < 10
+        )
+        grid_calls.append((len(images), n_tiny, shot_num))
+        return orig(images, boxes, rects, shot_num=shot_num, **kw)
+
+    engine.count_batch = spy
+    serve_mod.warmup(engine, "512x384", max_batch=4, grid=True)
+    mixed = [c for c in grid_calls if c[1] == 1]
+    assert (1, 1, 3) in mixed  # grid alone
+    assert any(nb > 1 for nb, t, _ in mixed)  # grid mixed with plain
