@@ -64,12 +64,20 @@ def upsample2x_bilinear(x: jnp.ndarray, precision=None) -> jnp.ndarray:
         if x.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    # fp32 MXU accumulation for bf16 inputs — but only where the
+    # backend supports mixed-result dots (the CPU thunk rejects
+    # BF16 x BF16 = F32; CPU bf16 is a test-only path).
+    pref = (
+        jnp.float32
+        if jax.devices()[0].platform in ("tpu", "axon")
+        else None
+    )
     wh = jnp.asarray(_up2x_matrix(h), x.dtype)
     ww = jnp.asarray(_up2x_matrix(w), x.dtype)
     y = jnp.einsum("nhwc,hH->nHwc", x, wh, precision=prec,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=pref)
     y = jnp.einsum("nHwc,wW->nHWc", y.astype(x.dtype), ww, precision=prec,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=pref)
     return y.astype(x.dtype)
 
 
