@@ -153,3 +153,30 @@ def test_per_stage_dtype_overrides_param_tree_and_accuracy(rng):
     assert out.dtype == jnp.float32
     rel = np.abs(np.asarray(out) - ref).max() / max(np.abs(ref).max(), 1e-6)
     assert rel < 1e-3
+
+
+def test_precision_mode_ladder_on_cpu(rng):
+    """Every --dtype mode (bf16 / mixed / mixed_fast, plus the head16
+    bisect override) must execute on the CPU backend with shared fp32
+    params and stay within a mode-appropriate distance of fp32 — this
+    pins the backend-gated upsample accumulate (CPU rejects
+    BF16 x BF16 = F32 dots) and the whole mode-building matrix."""
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0, 1, (1, 3, 64, 64, 3)), jnp.float32)
+    base = CounTR(TINY)
+    params = _init(base, imgs, boxes, 3)
+    ref = float(base.apply(params, imgs, boxes, 3).sum())
+
+    modes = {
+        "bf16": dict(dtype=jnp.bfloat16, approx_gelu=True),
+        "mixed": dict(dtype=jnp.bfloat16, head_dtype=jnp.float32,
+                      approx_gelu=True),
+        "mixed_fast": dict(dtype=jnp.bfloat16, head_dtype=jnp.float32,
+                           head_precision_high=True, approx_gelu=True),
+        "head16": dict(dtype=jnp.float32, head_dtype=jnp.bfloat16),
+    }
+    for name, ov in modes.items():
+        m = CounTR(dataclasses.replace(TINY, **ov))
+        s = float(m.apply(params, imgs, boxes, 3).sum())
+        rel = abs(s - ref) / max(abs(ref), 1e-6)
+        assert np.isfinite(s) and rel < 0.05, f"{name}: rel {rel}"
