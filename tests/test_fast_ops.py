@@ -108,3 +108,4 @@ def test_mixed_precision_head(rng):
     assert jax.tree.structure(params) == jax.tree.structure(ref)
     out = np.asarray(model.apply(params, imgs, boxes, 3))
     assert out.shape == (1, 64, 64) and np.all(np.isfinite(out))
+
