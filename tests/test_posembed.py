@@ -39,3 +39,36 @@ def test_shape_and_dtype():
     got = get_2d_sincos_pos_embed(768, 24)
     assert got.shape == (576, 768)
     assert got.dtype == np.float32
+
+
+def test_interpolate_pos_embed_matches_torch_bicubic():
+    """interpolate_pos_embed must reproduce torch's
+    F.interpolate(mode='bicubic', align_corners=False) resampling of
+    the grid tokens (reference: util/pos_embed.py:75-96)."""
+    import torch
+    import torch.nn.functional as F
+
+    from countr_tpu.ops.posembed import interpolate_pos_embed
+
+    rng = np.random.default_rng(0)
+    d, orig, new, extra = 32, 14, 24, 1
+    pos = rng.normal(size=(1, extra + orig * orig, d)).astype(np.float32)
+
+    got = interpolate_pos_embed(pos, new, num_extra_tokens=extra)
+
+    tokens = torch.from_numpy(pos[:, extra:]).reshape(1, orig, orig, d)
+    tokens = tokens.permute(0, 3, 1, 2)
+    ref_tokens = F.interpolate(
+        tokens, size=(new, new), mode="bicubic", align_corners=False
+    )
+    ref_tokens = ref_tokens.permute(0, 2, 3, 1).reshape(1, new * new, d)
+    ref = np.concatenate([pos[:, :extra], ref_tokens.numpy()], axis=1)
+
+    assert got.shape == (1, extra + new * new, d)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    # identity when sizes already match
+    same = interpolate_pos_embed(pos, orig, num_extra_tokens=extra)
+    np.testing.assert_allclose(same, pos, atol=1e-7)
+    # 2-D input stays 2-D
+    got2 = interpolate_pos_embed(pos[0], new, num_extra_tokens=extra)
+    np.testing.assert_allclose(got2, got[0], atol=1e-7)
