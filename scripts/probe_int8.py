@@ -1,9 +1,12 @@
-"""Probe: does this chip's XLA lower int8 x int8 -> int32 dots at the
-MXU's double-rate int8 path?  Times ViT-shaped matmuls in bf16 vs int8
-(chained-scan methodology per CLAUDE.md: block_until_ready is not a
-reliable sync on axon; one terminal scalar fetch).
+"""DEPRECATED — measurements from this script are INVALID; use
+scripts/probe_ab.py instead and see docs/PROFILE.md ("Isolated-op
+rates").  Two flaws, kept here as a methodology record:
 
-Decides whether a quantized inference mode is worth building.
+1. The scan "perturbation" is additive on a loop-invariant operand,
+   and dot/conv are linear — XLA's algebraic simplifier hoists the
+   real matmul out of the loop.
+2. iters x compute is smaller than the ~30-40 ms per-dispatch tunnel
+   floor, so wall time measures the RTT, not the op.
 """
 
 import sys

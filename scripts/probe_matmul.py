@@ -1,10 +1,9 @@
-"""Probe: why does the ViT MLP matmul [18432x768x3072] reach only
-~118 TFLOP/s when a 3x3 conv reaches ~186 TFLOP/s (94% of v5e bf16
-peak)?  Times shape/layout/expression variants to find a faster
-lowering for the encoder's Dense layers.
-
-Chained-scan methodology (CLAUDE.md): data-dependent perturbation,
-one terminal scalar fetch.
+"""DEPRECATED — measurements from this script are INVALID; use
+scripts/probe_ab.py instead and see docs/PROFILE.md ("Isolated-op
+rates").  The additive perturbation of a loop-invariant operand is
+linear through dot/conv, so XLA hoists the matmul out of the scan and
+the wall time collapses to the ~30-40 ms per-dispatch tunnel floor —
+which is why every "variant" here measures the same time.
 """
 
 import sys

@@ -20,13 +20,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_timer(iters):
+def make_timer(iters, reps=3):
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    # Per-call dispatch+fetch floor over the tunnel (~10-40 ms,
+    # session-dependent): measured once with an empty chain of the same
+    # scan structure and subtracted from every wall time below.
+    # Without this, floor/iters inflates each per-iter number by
+    # ~0.5-2 ms — dominant for sub-ms segments (see docs/PROFILE.md
+    # "Isolated-op rates" for the full methodology post-mortem).
+    def empty(x):
+        def body(c, _):
+            return c * jnp.bfloat16(1.0000001), None
+
+        return lax.scan(body, x, None, length=iters)[0]
+
+    erun = jax.jit(empty)
+    x0 = jnp.bfloat16(1.0)
+    float(erun(x0))
+    floor = 1e9
+    for _ in range(reps + 2):
+        t0 = time.perf_counter()
+        float(erun(x0))
+        floor = min(floor, time.perf_counter() - t0)
+    print(f"per-call dispatch floor: {floor * 1e3:.1f} ms", flush=True)
+
     def timeit(name, f, *args):
-        """f(*args) -> array. Returns seconds/iter of device time.
+        """f(*args) -> array. Returns seconds/iter of device time
+        (floor-subtracted, best of ``reps`` calls).
 
         All operands (incl. params pytrees inside f's closure are NOT
         allowed — pass them via *args) are jit arguments, so nothing
@@ -36,7 +59,9 @@ def make_timer(iters):
         def looped(*a):
             def body(c, _):
                 # Perturb the first arg by the carry so every iteration
-                # depends on the previous one (no hoisting / DCE).
+                # depends on the previous one (no hoisting / DCE; the
+                # model segments are nonlinear, so the perturbed body
+                # cannot be algebraically split into a hoistable part).
                 a0 = a[0] + (c * 1e-12).astype(a[0].dtype) if hasattr(a[0], "dtype") else a[0]
                 out = f(a0, *a[1:])
                 return jnp.float32(out.ravel()[0]) * 1e-12, None
@@ -46,10 +71,13 @@ def make_timer(iters):
         run = jax.jit(looped)
         r = run(*args)
         _ = float(r)  # compile + warmup, true sync
-        t0 = time.perf_counter()
-        r = run(*args)
-        _ = float(r)
-        dt = (time.perf_counter() - t0) / iters
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = run(*args)
+            _ = float(r)
+            best = min(best, time.perf_counter() - t0)
+        dt = max(best - floor, 0.0) / iters
         print(f"{name:<44s} {dt * 1e3:8.3f} ms/iter", flush=True)
         return dt
 
@@ -59,7 +87,7 @@ def make_timer(iters):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", default=32, type=int)
-    p.add_argument("--iters", default=20, type=int)
+    p.add_argument("--iters", default=50, type=int)
     p.add_argument("--fp32", action="store_true")
     args = p.parse_args()
 
