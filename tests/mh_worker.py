@@ -14,9 +14,19 @@ TPU-native equivalent rehearsal, runnable on CPU without a pod.
 """
 
 import argparse
+import ctypes
 import json
 import os
+import signal
 import sys
+
+# Die with the parent (PR_SET_PDEATHSIG): a SIGKILLed/SIGTERMed pytest
+# must not leave gloo-blocked workers orphaned on this 1-core host —
+# two stuck ranks at ~30% CPU each starve every later compile.
+try:
+    ctypes.CDLL("libc.so.6", use_errno=True).prctl(1, signal.SIGKILL)
+except Exception:
+    pass
 
 import jax
 

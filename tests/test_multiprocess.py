@@ -108,7 +108,15 @@ def test_two_process_finetune_matches_single(mh_fixture, tmp_path):
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
         )
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    try:
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    finally:
+        # a TimeoutExpired (e.g. a rank stuck in a gloo collective) must
+        # not leave the other rank running — orphans starve this 1-core
+        # host for every later test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
 
@@ -138,7 +146,11 @@ def test_two_process_finetune_matches_single(mh_fixture, tmp_path):
         env=_worker_env(2),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
-    out = proc.communicate(timeout=900)[0].decode()
+    try:
+        out = proc.communicate(timeout=900)[0].decode()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
     assert proc.returncode == 0, out[-3000:]
 
     mp_log = _read_log(rank0_out)
