@@ -59,7 +59,10 @@ def _host_image(meta, store, i):
 
 def test_store_catalog(store_fixture):
     meta, store = store_fixture
-    px = np.asarray(store.pixels)
+    packed = np.asarray(store.pixels)
+    px = np.stack(
+        [(packed >> 16) & 0xFF, (packed >> 8) & 0xFF, packed & 0xFF], -1
+    ).astype(np.uint8)
     for i, im_id in enumerate(store.ids):
         h, w = int(store.h_np[i]), int(store.w_np[i])
         base = int(np.asarray(store.base)[i])
