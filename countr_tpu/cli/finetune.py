@@ -236,6 +236,11 @@ def main(args):
         store_arrays = store.arrays
 
         def train_step(state, batch, rng, shot_num):
+            # n_mosaic stays None (every slot pays the mosaic path):
+            # in-step mosaic marginal cost measured ~0.3 ms/slot
+            # (scripts/profile_train.py, K=2 bucket saved 1.4 ms of a
+            # 73.5 ms step) — not worth 4 compiled step variants at
+            # 10-20 min first-compile each on this backend
             return _store_step(state, store_arrays, batch, rng, shot_num)
 
         # validation is resident too: the fixed 384^2 val samples would

@@ -190,11 +190,12 @@ def make_store_finetune_step(
     store_arrays must be passed as arguments every call — closing over
     them would ship gigabytes as compile-request constants."""
 
-    def step_fn(state: TrainState, store_arrays, batch, rng, shot_num: int):
+    def step_fn(state: TrainState, store_arrays, batch, rng, shot_num: int,
+                n_mosaic=None):
         from countr_tpu.engine.train_store import materialize_batch
         from countr_tpu.ops.augment import density_from_dots, photometric
 
-        imgs, boxes = materialize_batch(store_arrays, batch)
+        imgs, boxes = materialize_batch(store_arrays, batch, n_mosaic)
         rng, k_aug = jax.random.split(rng)
         keys = jax.random.split(k_aug, imgs.shape[0])
         imgs = jax.vmap(
@@ -203,7 +204,7 @@ def make_store_finetune_step(
         gt = jax.vmap(density_from_dots)(batch["dots"], batch["n_dots"])
         return _finetune_core(model, cfg, state, imgs, gt, boxes, rng, shot_num)
 
-    return jax.jit(step_fn, static_argnums=(4,), donate_argnums=(0,))
+    return jax.jit(step_fn, static_argnums=(4, 5), donate_argnums=(0,))
 
 
 def make_carpk_store_step(model: CounTR, cfg: TrainConfig) -> Callable:

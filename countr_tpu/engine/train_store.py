@@ -300,7 +300,44 @@ def _mosaic_sample(pixels, bases, strides, tops, lefts, lengths, bl):
     return jnp.clip(out, 0.0, 1.0)
 
 
-def materialize_batch(store_arrays: Dict, batch: Dict):
+def mosaic_bucket(k: int, batch_size: int) -> int:
+    """Smallest mosaic-slot bucket >= k. Buckets keep the number of
+    distinct compiled step variants tiny (0 / 2 / 4 / B) while skipping
+    most of the wasted mosaic compute: at the reference's 25% mosaic
+    rate and batch 8, E[slots] ~ 2.7 vs always-B = 8.
+
+    Measured (scripts/profile_train.py, tunneled v5e, batch 8): the
+    in-step mosaic marginal cost is only ~0.3 ms/slot — the K=2 bucket
+    saved 1.4 ms of a 73.5 ms step — so cli.finetune does NOT bucket
+    (avoids 4 compiled step variants at 10-20 min first-compile each).
+    Kept for callers whose datasets are mosaic-heavy enough to care."""
+    for b in (0, 2, 4):
+        if k <= b <= batch_size:
+            return b
+    return batch_size
+
+
+def sort_mosaic_first(batch: Dict) -> tuple:
+    """Stable host-side reorder of a collated resident batch so mosaic
+    samples form a prefix (training is order-invariant within a batch);
+    returns (batch, k) with k = number of mosaic samples. Pass
+    n_mosaic=mosaic_bucket(k, B) to the step so only the prefix pays
+    the mosaic band-matmul compute."""
+    m = np.asarray(batch["is_mosaic"])
+    order = np.argsort(-m, kind="stable")
+    k = int((m > 0).sum())
+
+    def reorder(v):
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == m.shape[0]:
+            return v[order]
+        if isinstance(v, list) and len(v) == m.shape[0]:
+            return [v[i] for i in order]
+        return v
+
+    return {key: reorder(v) for key, v in batch.items()}, k
+
+
+def materialize_batch(store_arrays: Dict, batch: Dict, n_mosaic=None):
     """Device-side batch assembly from per-sample geometry parameters.
 
     batch fields (leading dim B):
@@ -308,24 +345,41 @@ def materialize_batch(store_arrays: Dict, batch: Dict):
       cell_idx [B,4] int32; cell_top/cell_left/cell_len [B,4] int32;
       blend_l [B] int32.
     Returns (images f32 [B,384,384,3], boxes f32 [B,3,64,64,3]).
+
+    n_mosaic (static): number of leading slots that may be mosaic
+    samples (see sort_mosaic_first). None = any slot (compute the
+    mosaic path for every sample, the safe default); 0..B = only the
+    prefix pays the mosaic band-matmuls. Mosaic samples OUTSIDE the
+    prefix would silently get their affine materialization (identity
+    map for mosaic samples) — callers must sort and bucket.
     """
     px = store_arrays["pixels"]
     base = store_arrays["base"]
     width = store_arrays["width"]
     height = store_arrays["height"]
 
-    def one(idx, C, d, is_mosaic, cidx, ctop, cleft, clen, bl):
-        aff = _affine_sample(
+    def one_affine(idx, C, d):
+        return _affine_sample(
             px, base[idx], width[idx], height[idx], width[idx], C, d
         )
-        mos = _mosaic_sample(px, base[cidx], width[cidx], ctop, cleft, clen, bl)
-        return jnp.where(is_mosaic > 0, mos, aff)
 
-    imgs = jax.vmap(one)(
-        batch["img_idx"], batch["affine_C"], batch["affine_d"],
-        batch["is_mosaic"], batch["cell_idx"], batch["cell_top"],
-        batch["cell_left"], batch["cell_len"], batch["blend_l"],
+    def one_mosaic(cidx, ctop, cleft, clen, bl):
+        return _mosaic_sample(px, base[cidx], width[cidx], ctop, cleft,
+                              clen, bl)
+
+    imgs = jax.vmap(one_affine)(
+        batch["img_idx"], batch["affine_C"], batch["affine_d"]
     )
+    B = imgs.shape[0]
+    K = B if n_mosaic is None else int(n_mosaic)
+    if K > 0:
+        mos = jax.vmap(one_mosaic)(
+            batch["cell_idx"][:K], batch["cell_top"][:K],
+            batch["cell_left"][:K], batch["cell_len"][:K],
+            batch["blend_l"][:K],
+        )
+        sel = (batch["is_mosaic"][:K] > 0)[:, None, None, None]
+        imgs = imgs.at[:K].set(jnp.where(sel, mos, imgs[:K]))
     boxes = jnp.take(
         store_arrays["exemplars"], batch["img_idx"], axis=0
     ).astype(jnp.float32) / 255.0

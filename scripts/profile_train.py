@@ -261,6 +261,35 @@ def main():
     print(f"{'FULL resident step (mat+aug+fwd+bwd+opt)':<44s} "
           f"{dt * 1e3:8.2f} ms/iter", flush=True)
 
+    # full step with the mosaic-prefix bucket (what cli.finetune runs)
+    from countr_tpu.engine.train_store import mosaic_bucket, sort_mosaic_first
+
+    host_batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+    sorted_batch, k_mos = sort_mosaic_first(host_batch)
+    nb = mosaic_bucket(k_mos, b)
+    batch_s = {k: jax.device_put(v) for k, v in sorted_batch.items()}
+
+    def full_chain_bucket(state, sa, batch):
+        def body(st, i):
+            bb = dict(batch)
+            bb["img_idx"] = batch["img_idx"] + jnp.int32(
+                jnp.float32(st.step) * 0
+            )
+            st, m = step_fn(st, sa, bb, jax.random.fold_in(jax.random.key(3), i),
+                            3, nb)
+            return st, m["loss"]
+
+        st, losses = lax.scan(body, state, jnp.arange(iters_full))
+        return losses[-1][None]
+
+    run_b = jax.jit(full_chain_bucket)
+    iters = iters_full
+    dt_b = timed(run_b, state, sa, batch_s)
+    iters = saved_iters
+    name_b = f"FULL step, mosaic-prefix bucket (K={nb})"
+    results[name_b] = dt_b
+    print(f"{name_b:<44s} {dt_b * 1e3:8.2f} ms/iter", flush=True)
+
     print("---", flush=True)
     full = results["FULL resident step (mat+aug+fwd+bwd+opt)"]
     vag = results["forward+backward (value_and_grad)"]
@@ -271,7 +300,8 @@ def main():
           f"photometric {pho / full * 100:.0f}%  density {den / full * 100:.0f}%  "
           f"residual(opt+glue) "
           f"{(full - vag - mat - pho - den) / full * 100:.0f}%", flush=True)
-    print(f"step images/sec at batch {b}: {b / full:.1f}", flush=True)
+    print(f"step images/sec at batch {b}: {b / full:.1f} "
+          f"(bucketed: {b / dt_b:.1f})", flush=True)
 
 
 if __name__ == "__main__":

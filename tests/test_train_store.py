@@ -224,6 +224,47 @@ def test_store_step_end_to_end(store_fixture):
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
 
 
+def test_materialize_mosaic_prefix_bucketing(store_fixture):
+    """Sorted batch + bucketed n_mosaic == full materialization: the
+    mosaic-prefix fast path (mosaic_bucket / sort_mosaic_first) must
+    change nothing but the amount of wasted compute."""
+    from countr_tpu.data.fsc147 import TrainDataset
+    from countr_tpu.data.loader import DataLoader
+
+    meta, store = store_fixture
+    ds = TrainDataset(meta, seed=3, store_index=store.index)
+    dl = DataLoader(ds, 4, shuffle=True, num_workers=0, drop_last=True, seed=3)
+    mat = jax.jit(TS.materialize_batch, static_argnums=(2,))
+    keys = ("img_idx", "affine_C", "affine_d", "is_mosaic", "cell_idx",
+            "cell_top", "cell_left", "cell_len", "blend_l")
+    seen_k = set()
+    for epoch in range(8):
+        batch = next(iter(dl.epoch(epoch)))
+        srt, k = TS.sort_mosaic_first(batch)
+        seen_k.add(min(k, 3))
+        m = np.asarray(srt["is_mosaic"])
+        assert (np.diff(m) <= 0).all(), "mosaic samples must form a prefix"
+        assert k == int((m > 0).sum())
+        nb = TS.mosaic_bucket(k, 4)
+        assert nb >= k and nb in (0, 2, 4)
+        dev = {kk: jnp.asarray(srt[kk]) for kk in keys}
+        want_img, want_box = mat(store.arrays, dev, None)
+        got_img, got_box = mat(store.arrays, dev, nb)
+        np.testing.assert_array_equal(np.asarray(got_img), np.asarray(want_img))
+        np.testing.assert_array_equal(np.asarray(got_box), np.asarray(want_box))
+        if seen_k >= {0, 1, 2, 3}:
+            break
+    assert len(seen_k) >= 2, "fixture batches never varied mosaic count"
+
+
+def test_mosaic_bucket_values():
+    assert [TS.mosaic_bucket(k, 8) for k in range(9)] == [
+        0, 2, 2, 4, 4, 8, 8, 8, 8]
+    assert TS.mosaic_bucket(0, 3) == 0
+    assert TS.mosaic_bucket(3, 3) == 3
+    assert TS.mosaic_bucket(1, 1) == 1
+
+
 # ---------------------------------------------------------------------------
 # Pretrain resident store
 # ---------------------------------------------------------------------------
