@@ -87,6 +87,89 @@ def _fused(q, k, v, num_heads: int, interpret: bool, block_b: int = 1):
     )(q, k, v)
 
 
+def _attn_bwd_kernel(
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+    *, num_heads: int, scale: float,
+):
+    """Recompute-P attention backward, entirely in VMEM.
+
+    The XLA VJP of this op materializes three [B, H, N, N] fp32
+    tensors in HBM (the recomputed probabilities P, dP, and dS); at
+    the decoder's shapes (6 blocks x [8, 16, 576, 576]) that made the
+    decoder backward 7x its forward (docs/PROFILE.md). Here each
+    (batch, head) recomputes its [N, N] tile and consumes it in place.
+    """
+    bb = q_ref.shape[0]
+    hd = q_ref.shape[-1] // num_heads
+    for bi in range(bb):  # static unroll, mirroring the forward kernel
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = q_ref[bi, :, sl]  # [N, hd]
+            k = k_ref[bi, :, sl]
+            v = v_ref[bi, :, sl]
+            g = g_ref[bi, :, sl]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            logits = logits * scale
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            pn = p / jnp.sum(p, axis=-1, keepdims=True)  # [N, N] fp32
+            pc = pn.astype(v.dtype)
+            # dV = P^T dO
+            dv = jax.lax.dot_general(
+                pc, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # dP = dO V^T
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            # dS = P * (dP - rowsum(dP * P)); the softmax-Jacobian row
+            # correction. scale folds in here so dQ/dK are plain dots.
+            d = jnp.sum(dp * pn, axis=-1, keepdims=True)
+            ds = ((dp - d) * pn * scale).astype(q.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dq_ref[bi, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[bi, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[bi, :, sl] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _fused_bwd(q, k, v, g, num_heads: int, interpret: bool, block_b: int = 1):
+    b, n, c = q.shape
+    hd = c // num_heads
+    scale = hd ** -0.5
+    while b % block_b:
+        block_b //= 2
+    kwargs = {}
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        mem = pltpu.ANY if interpret else pltpu.VMEM
+        spec = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0), memory_space=mem)
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            )
+    except Exception:
+        spec = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0))
+    shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, num_heads=num_heads, scale=scale),
+        grid=(b // block_b,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+        **kwargs,
+    )(q, k, v, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_diff(q, k, v, num_heads: int, interpret: bool):
     return _fused(q, k, v, num_heads, interpret)
@@ -97,11 +180,8 @@ def _fused_diff_fwd(q, k, v, num_heads, interpret):
 
 
 def _fused_diff_bwd(num_heads, interpret, res, g):
-    # Backward via the XLA attention — mathematically the same op; the
-    # Pallas kernel accelerates the (much more frequent) forward.
     q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: multi_head_attention(q, k, v, num_heads), q, k, v)
-    return vjp(g)
+    return _fused_bwd(q, k, v, g, num_heads, interpret)
 
 
 _fused_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)
@@ -113,7 +193,8 @@ def fused_attention(
 ) -> jnp.ndarray:
     """Self-attention [B, N, C] x3 -> [B, N, C]; Pallas on TPU, XLA
     elsewhere (unless interpret is forced for testing). Differentiable:
-    the backward pass recomputes through the XLA attention."""
+    the backward is its own recompute-P Pallas kernel (no [B, H, N, N]
+    tensor ever touches HBM in either direction)."""
     if interpret is None:
         platform = jax.devices()[0].platform
         if platform not in ("tpu", "axon"):

@@ -13,6 +13,15 @@ times semantically-equivalent gather formulations at the real shape
   c) packed4    — pool packed to [P] uint32 (RGB in one word):
                   4 x take of scalars + bit unpack
   d) packed2    — packed pool + 2 x lax.gather slice_sizes=(2,)
+  e) slab_take4 — two-level: vmapped dynamic_slice rows materialize the
+                  sample's whole padded image [Hmax, Wmax] (contiguous
+                  DMA, the pattern the mosaic path proved fast), then
+                  the 4 taps index the small dense slab instead of the
+                  full pool
+  f) small_pool — CONTROL: take4_packed against a pool holding one
+                  image. If this matches c, gather cost is per-element
+                  and independent of table size — and variant e cannot
+                  win
 
 Chained-scan methodology of probe_ab.py: each iteration's affine
 offset is tanh of the previous output (serial chain, no hoisting),
@@ -198,6 +207,47 @@ def main():
         p11 = unpack(jnp.where(lo, bot[:, :, 0], bot[:, :, 1])) * m11
         return blend(p00, p01, p10, p11, fx, fy)
 
+    # ---- variant e: two-level slab (whole padded image) + take4 ---------
+    HMAX = int(hs.max()) if int(hs.max()) % 8 == 0 else int(hs.max()) + (8 - int(hs.max()) % 8)
+    WMAX = int(ws.max()) if int(ws.max()) % 128 == 0 else int(ws.max()) + (128 - int(ws.max()) % 128)
+
+    def sample_e(pl32, b, s, h, w, C, d):
+        def row_slice(r):
+            rr = jnp.minimum(r, h - 1)  # rows past h re-read the last row
+            return lax.dynamic_slice_in_dim(pl32, b + rr * s, WMAX, axis=0)
+
+        slab = jax.vmap(row_slice)(jnp.arange(HMAX)).reshape(-1)  # [HMAX*WMAX]
+        fx, fy, x0, y0 = coords(C, d)
+        m00, m01, m10, m11 = masks(y0, x0, h, w)
+
+        def tap(yy, xx, m):
+            idx = jnp.clip(yy, 0, h - 1) * WMAX + jnp.clip(xx, 0, w - 1)
+            return unpack(jnp.take(slab, idx, axis=0)) * m
+
+        return blend(
+            tap(y0, x0, m00), tap(y0, x0 + 1, m01),
+            tap(y0 + 1, x0, m10), tap(y0 + 1, x0 + 1, m11), fx, fy,
+        )
+
+    # ---- variant f: control — take4_packed from a one-image pool --------
+    P1 = int(hs[0] * ws[0]) + 512
+    pool_small = pool_u32[:P1]
+
+    def sample_f(pl32_small, b, s, h, w, C, d):
+        fx, fy, x0, y0 = coords(C, d)
+        m00, m01, m10, m11 = masks(y0, x0, h, w)
+        b0 = jnp.zeros_like(b)  # every sample reads image 0
+
+        def tap(yy, xx, m):
+            idx = b0 + jnp.clip(yy, 0, h - 1) * s + jnp.clip(xx, 0, w - 1)
+            idx = jnp.minimum(idx, P1 - 1)
+            return unpack(jnp.take(pl32_small, idx, axis=0)) * m
+
+        return blend(
+            tap(y0, x0, m00), tap(y0, x0 + 1, m01),
+            tap(y0 + 1, x0, m10), tap(y0 + 1, x0 + 1, m11), fx, fy,
+        )
+
     # ---- correctness cross-check (once, on small output) ----------------
     def batch_apply(fn, pl):
         def one(b, s, h, w, C, d):
@@ -208,7 +258,7 @@ def main():
     if not args.only:
         ra = jax.jit(lambda: batch_apply(sample_a, pool))()
         for name, fn, pl in (("b", sample_b, pool), ("c", sample_c, pool_u32),
-                             ("d", sample_d, pool_u32)):
+                             ("d", sample_d, pool_u32), ("e", sample_e, pool_u32)):
             rv = jax.jit(lambda fn=fn, pl=pl: batch_apply(fn, pl))()
             md = float(jnp.max(jnp.abs(ra - rv)))
             print(f"variant {name}: max abs diff vs a = {md:.2e}", flush=True)
@@ -243,6 +293,8 @@ def main():
         "b_slab2_rows": (sample_b, pool),
         "c_take4_packed": (sample_c, pool_u32),
         "d_slab2_packed": (sample_d, pool_u32),
+        "e_slab_take4": (sample_e, pool_u32),
+        "f_small_pool": (sample_f, pool_small),
     }
     if args.only:
         keys = [k for k in all_specs
