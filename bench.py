@@ -52,7 +52,7 @@ def main():
     rng = np.random.default_rng(0)
     model = build_countr(
         "mae_vit_base6_patch16", dtype=jnp.bfloat16, use_pallas_attention=True,
-        approx_gelu=True,
+        approx_gelu=True, subpixel_head=True,
     )
     params = jax.jit(model.init, static_argnums=(3,))(
         jax.random.key(0),

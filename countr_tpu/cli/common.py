@@ -127,6 +127,10 @@ def build_counting_model(args) -> Tuple[object, dict]:
         use_pallas_attention=dtype == jnp.bfloat16,
         approx_gelu=dtype == jnp.bfloat16
         and not getattr(args, "exact_gelu", False),
+        # Fused subpixel head (exact; ops/subpixel.py) in the bf16 fast
+        # mode. The mixed modes keep the fp32 head on the reference
+        # formulation measured for their PARITY.md numbers.
+        subpixel_head=(parse_head_dtype(args.dtype) or dtype) == jnp.bfloat16,
         **kw,
     )
     cfg = model.cfg

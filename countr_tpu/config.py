@@ -84,6 +84,13 @@ class CounTRConfig:
     # recovers near-fp32 counts at ~half the fp32-head cost. Only
     # meaningful when the head dtype is fp32.
     head_precision_high: bool = False
+    # Fuse the density head's last 2x upsample into conv3 as a
+    # phase-space (subpixel) conv, keeping GN/ReLU/pred/final-upsample
+    # in phase layout so the 192^2 tensor never touches HBM
+    # (ops/subpixel.py). Numerically equivalent incl. the border ring
+    # (tests/test_subpixel_head.py); measured 1.47x the up->conv pair
+    # (scripts/probe_subpixel.py). The bf16 fast mode turns this on.
+    subpixel_head: bool = False
     # The reference always runs the encoder under torch.no_grad()
     # (reference: models_mae_cross.py:204-205), freezing it during
     # fine-tuning; stop_gradient reproduces that.

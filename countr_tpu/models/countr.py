@@ -31,6 +31,10 @@ from countr_tpu.ops.attention import (
 )
 from countr_tpu.ops.norms import group_norm, instance_norm
 from countr_tpu.ops.posembed import get_2d_sincos_pos_embed
+from countr_tpu.ops.subpixel import (
+    gn_phase_apply, gn_phase_stats, phase_conv2x_core, pred_phase_flat,
+    ring_strips, scatter_ring, upsample2x_phase,
+)
 from countr_tpu.ops.upsample import upsample2x_bilinear
 from countr_tpu.models.vit import Block, LayerNorm, Mlp, PatchEmbed, SelfAttention
 
@@ -117,6 +121,38 @@ class ExemplarEncoder(nn.Module):
         return x  # [N, out_dim]
 
 
+class _Conv3Params(nn.Module):
+    """Parameter container matching ``nn.Conv(name="conv3")`` exactly
+    (same param names, shapes, inits), so the fused subpixel path and
+    the reference formulation share one checkpoint layout."""
+
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel", torch_conv_kernel, (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", conv_bias_init(9 * cin), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
+class _PredParams(nn.Module):
+    """Parameter container matching ``nn.Conv(name="pred")`` (1x1,
+    256 -> 1), for the fused path's block-diagonal lane matmul."""
+
+    @nn.compact
+    def __call__(self, cin: int = 256):
+        kernel = self.param(
+            "kernel", torch_conv_kernel, (1, 1, cin, 1), jnp.float32
+        )
+        bias = self.param("bias", conv_bias_init(cin), (1,), jnp.float32)
+        return kernel, bias
+
+
 class DensityHead(nn.Module):
     """Token grid -> density map: 4x {conv3x3 + GroupNorm(8,256) + ReLU
     + bilinear 2x}, final 1x1 conv to one channel
@@ -129,10 +165,20 @@ class DensityHead(nn.Module):
     instead of HIGHEST (6-pass) — near-fp32 counts at ~half the
     fp32-head cost. A bf16-operand fp32-accumulate variant was measured
     and rejected: the head's bf16 error IS the operand rounding, so it
-    bought no accuracy over plain bf16 (docs/PARITY.md)."""
+    bought no accuracy over plain bf16 (docs/PARITY.md).
+
+    ``subpixel``: fuse the LAST 2x upsample into conv3 as a phase-space
+    conv and keep GroupNorm/ReLU/pred/final-upsample in phase layout, so
+    the 192^2 tensor never materializes in HBM (ops/subpixel.py; the
+    composition is numerically equivalent incl. the border ring —
+    tests/test_subpixel_head.py). Only the last pair fuses: earlier
+    stages would need a depth-to-space transpose for the next conv,
+    which measures more expensive than the fusion saves
+    (scripts/probe_subpixel.py)."""
 
     dtype: jnp.dtype = jnp.float32
     precision_high: bool = False
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -154,17 +200,46 @@ class DensityHead(nn.Module):
             x = group_norm(x, gn_scale, gn_bias, num_groups=8)
             return nn.relu(x)
 
-        for idx in range(4):
+        for idx in range(3):
             x = stage(x, idx)
-            if idx < 3:
+            if idx < 2 or not self.subpixel:
                 x = upsample2x_bilinear(x, precision=prec)
-        x = nn.Conv(
-            1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
-            kernel_init=torch_conv_kernel, bias_init=conv_bias_init(256),
-            precision=prec, name="pred",
-        )(x)
-        x = upsample2x_bilinear(x, precision=prec)
-        return x[..., 0]  # [B, H, W]
+
+        if not self.subpixel:
+            x = stage(x, 3)
+            x = nn.Conv(
+                1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=torch_conv_kernel, bias_init=conv_bias_init(256),
+                precision=prec, name="pred",
+            )(x)
+            x = upsample2x_bilinear(x, precision=prec)
+            return x[..., 0]  # [B, H, W]
+
+        # Fused: x is stage2's output at 96^2; conv3 consumes it as a
+        # phase conv and everything downstream stays in the FLAT phase
+        # layout [N, h, w, 4*256] — any reshape of the big (~600 MB)
+        # tensor's lane dim retiles it, and the ring correction rides
+        # four thin strips through corrected-GN/ReLU/pred onto the
+        # SMALL post-pred tensor (ops/subpixel.py for the full story).
+        n, h, w, _ = x.shape
+        kernel, bias = _Conv3Params(name="conv3")(x.shape[-1])
+        pk, pb = _PredParams(name="pred")()
+        pk = pk[0, 0]  # [256, 1]
+        xd = x.astype(self.dtype)
+        ph = phase_conv2x_core(xd, kernel, bias, precision=prec)
+        strips = ring_strips(xd, kernel, bias, precision=prec)
+        gn_scale = self.param("gn3_scale", nn.initializers.ones, (256,), jnp.float32)
+        gn_bias = self.param("gn3_bias", nn.initializers.zeros, (256,), jnp.float32)
+        mean, rstd = gn_phase_stats(ph, strips, num_groups=8, precision=prec)
+        yb = nn.relu(gn_phase_apply(ph, mean, rstd, gn_scale, gn_bias))
+        z4 = pred_phase_flat(yb, pk.astype(self.dtype), pb, precision=prec)
+        zs = [
+            (nn.relu(gn_phase_apply(s, mean, rstd, gn_scale, gn_bias))
+             @ pk.astype(self.dtype) + pb.astype(self.dtype))[..., 0]
+            for s in strips
+        ]
+        z = scatter_ring(z4.reshape(n, h, w, 2, 2), *zs)
+        return upsample2x_phase(z, precision=prec)
 
 
 class CounTR(nn.Module):
@@ -218,7 +293,8 @@ class CounTR(nn.Module):
         self.decoder_norm = LayerNorm(cfg.ln_eps, dec_dt, name="decoder_norm")
         self.density_head = DensityHead(
             cfg.head_dtype or cfg.dtype,
-            precision_high=cfg.head_precision_high, name="density_head",
+            precision_high=cfg.head_precision_high,
+            subpixel=cfg.subpixel_head, name="density_head",
         )
         # Fixed (non-learned) sin-cos position embeddings
         # (reference: models_mae_cross.py:30,42,111-115).

@@ -58,7 +58,7 @@ def main():
     else:
         cfg = dataclasses.replace(
             COUNTR_PRESETS["mae_vit_base6_patch16"], dtype=jnp.bfloat16,
-            use_pallas_attention=True,
+            use_pallas_attention=True, subpixel_head=True,
         )
         model = CounTR(cfg)
         batch = {

@@ -51,7 +51,7 @@ def main():
 
     cfg = dataclasses.replace(
         COUNTR_PRESETS["mae_vit_base6_patch16"], dtype=jnp.bfloat16,
-        use_pallas_attention=True, approx_gelu=True,
+        use_pallas_attention=True, approx_gelu=True, subpixel_head=True,
     )
     model = CounTR(cfg)
     rng = np.random.default_rng(0)

@@ -84,7 +84,7 @@ def main():
         [sample(w=384) for _ in range(args.n_test - args.n_test // 2)]
 
     model = build_countr(
-        "mae_vit_base6_patch16", dtype=jnp.bfloat16, use_pallas_attention=True,
+        "mae_vit_base6_patch16", dtype=jnp.bfloat16, use_pallas_attention=True, subpixel_head=True,
         freeze_encoder=False,
     )
     params = jax.jit(model.init, static_argnums=(3,))(
