@@ -442,17 +442,22 @@ def build_val_store(val_ds, log=print) -> ValStore:
 @dataclasses.dataclass
 class PretrainStore:
     """Resident store for MAE pretraining. Every image is normalized to
-    EXACTLY 384 rows (smaller side 384; portraits stored transposed) so
-    a flat-pool slice reshapes statically to [384, w]. The reference
-    crops the ~384-side images_384_VarV2 originals
-    (reference: util/FSC147.py:360-365 RandomResizedCrop(384, 0.2-1.0,
-    bicubic)); normalizing the smaller side to 384 first is a
-    distribution-level no-op for a scale-invariant crop."""
+    EXACTLY 384 logical rows (smaller side 384; portraits transposed
+    first), then stored COLUMN-MAJOR as [w, 384]: the fixed-384 axis is
+    the stored stride, so one sample's whole slab is a SINGLE
+    static-size ``dynamic_slice`` of max_w*384 pixels that reshapes to
+    [max_w, 384] — not 384 per-row slices (which measured 6.9 of the
+    step's 7.6 ms materialization cost, slice-count-bound:
+    scripts/profile_pretrain.py). The reference crops the ~384-side
+    images_384_VarV2 originals (reference: util/FSC147.py:360-365
+    RandomResizedCrop(384, 0.2-1.0, bicubic)); normalizing the smaller
+    side to 384 first is a distribution-level no-op for a
+    scale-invariant crop."""
 
     ids: List[str]
-    pixels: jax.Array  # [P, 3] uint8, rows of 384-row images
+    pixels: jax.Array  # [P, 3] uint8, [w, 384] column-major images
     base: jax.Array  # [N] int32
-    width: jax.Array  # [N] int32 (stored width)
+    width: jax.Array  # [N] int32 (logical width = stored ROW count)
     w_np: np.ndarray
     t_np: np.ndarray  # 1 if stored transposed (original portrait)
     max_w: int
@@ -475,9 +480,9 @@ def build_pretrain_store(meta, ids: List[str], log=print) -> PretrainStore:
     for i, im_id in enumerate(ids):
         img = meta.open_image(im_id)
         w0, h0 = img.size
-        if h0 <= w0:  # landscape: 384 rows
+        if h0 <= w0:  # landscape: 384 logical rows
             u8 = T.pil_resize_u8(img, IMG_SIZE, max(IMG_SIZE, round(w0 * IMG_SIZE / h0)))
-        else:  # portrait: resize W=384, store transposed
+        else:  # portrait: resize W=384, logical layout is the transpose
             u8 = T.pil_resize_u8(img, max(IMG_SIZE, round(h0 * IMG_SIZE / w0)), IMG_SIZE)
             u8 = np.ascontiguousarray(u8.transpose(1, 0, 2))
             tflags[i] = 1
@@ -485,7 +490,8 @@ def build_pretrain_store(meta, ids: List[str], log=print) -> PretrainStore:
         bases[i] = off
         widths[i] = u8.shape[1]
         off += IMG_SIZE * u8.shape[1]
-        chunks.append(u8.reshape(-1, 3))
+        # store column-major [w, 384]: fixed stride -> one static slice
+        chunks.append(np.ascontiguousarray(u8.transpose(1, 0, 2)).reshape(-1, 3))
         if (i + 1) % 500 == 0:
             log(f"pretrain store: decoded {i + 1}/{n}")
     assert off < 2**31
@@ -541,21 +547,26 @@ def materialize_pretrain_batch(store_arrays: Dict, batch: Dict, max_w: int):
     width = store_arrays["width"]
 
     def one(idx, top, left, ch, cw, transposed, flip):
-        # per-row slab gather: rows have per-image stride, so a single
-        # big slice cannot be reshaped statically; columns >= the true
-        # width read spill pixels that the crop maps never sample
-        def row_slice(r):
-            return jax.lax.dynamic_slice_in_dim(
-                px, base[idx] + r * width[idx], max_w, axis=0
-            )
-
-        img = jax.vmap(row_slice)(jnp.arange(IMG_SIZE)).astype(jnp.float32) / 255.0
+        # The [w, 384] column-major storage has a FIXED stride (384), so
+        # the whole slab is one static-size contiguous slice; stored
+        # rows >= the true width spill into the next image (the pool is
+        # tail-padded), but the x band's in-crop mask never samples them
+        # (left + cw <= w). This replaced 384 per-row dynamic slices
+        # that cost 6.9 ms/batch-16 (slice-count-bound).
+        flat = jax.lax.dynamic_slice_in_dim(
+            px, base[idx], max_w * IMG_SIZE, axis=0
+        )
+        img = flat.reshape(max_w, IMG_SIZE, 3).astype(jnp.float32) / 255.0
         wy = _bicubic_band(IMG_SIZE, top, ch)  # [384_src, 384_out]
         wx = _bicubic_band(max_w, left, cw)  # [max_w, 384_out]
         prec = jax.lax.Precision.HIGHEST
-        out = jnp.einsum("yx...,yo->ox...", img, wy, precision=prec)
-        out = jnp.einsum("ox...,xj->oj...", out, wx, precision=prec)
-        out = jnp.where(transposed > 0, out.transpose(1, 0, 2), out)
+        # img axes: [x_stored, y_stored]; contract each with its band
+        out = jnp.einsum("xy...,xo->oy...", img, wx, precision=prec)
+        out = jnp.einsum("oy...,yj->oj...", out, wy, precision=prec)
+        # out is [x_out, y_out] = the transpose of the logical layout,
+        # which is exactly the final orientation for transposed
+        # (portrait-original) samples
+        out = jnp.where(transposed > 0, out, out.transpose(1, 0, 2))
         out = jnp.where(flip > 0, out[:, ::-1], out)
         return jnp.clip(out, 0.0, 1.0)
 

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--batch", default=16, type=int)
     p.add_argument("--iters", default=20, type=int)
     p.add_argument("--data_dir", default="/tmp/bench_fsc_e2e", type=str)
+    p.add_argument("--deep", action="store_true",
+                   help="also attribute encoder/decoder fwd+vag and the "
+                        "optimizer update (new compiles; slower first run)")
     args = p.parse_args()
 
     import dataclasses
@@ -154,20 +157,18 @@ def main():
     from countr_tpu.config import IMG_SIZE
 
     def f_slab(c, sa, batch):
-        px, base, width = sa["pixels"], sa["base"], sa["width"]
+        px, base = sa["pixels"], sa["base"]
         idxs = batch["img_idx"] + izero(c)
 
         def one(idx):
-            def row_slice(r):
-                return jax.lax.dynamic_slice_in_dim(
-                    px, base[idx] + r * width[idx], max_w, axis=0
-                )
-
-            return jax.vmap(row_slice)(jnp.arange(IMG_SIZE))
+            flat = jax.lax.dynamic_slice_in_dim(
+                px, base[idx], max_w * IMG_SIZE, axis=0
+            )
+            return flat.reshape(max_w, IMG_SIZE, 3)
 
         return jax.vmap(one)(idxs).astype(jnp.float32)
 
-    seg("  slab row-slices only (all B)", f_slab, sa, batch)
+    seg("  slab single-slices only (all B)", f_slab, sa, batch)
 
     slab0 = jax.jit(lambda sa, batch: f_slab(jnp.float32(0.0), sa, batch))(sa, batch)
 
@@ -176,9 +177,9 @@ def main():
             wy = _bicubic_band(IMG_SIZE, top, ch)
             wx = _bicubic_band(max_w, left, cw)
             prec = jax.lax.Precision.HIGHEST
-            out = jnp.einsum("yx...,yo->ox...", img + c * 1e-12, wy,
+            out = jnp.einsum("xy...,xo->oy...", img + c * 1e-12, wx,
                              precision=prec)
-            return jnp.einsum("ox...,xj->oj...", out, wx, precision=prec)
+            return jnp.einsum("oy...,yj->oj...", out, wy, precision=prec)
 
         return jax.vmap(one)(
             slab, batch["crop_top"], batch["crop_left"],
@@ -211,6 +212,89 @@ def main():
         return l[None] + gsum * 1e-20
 
     seg("forward+backward (value_and_grad)", f_vag, state.params, imgs0)
+
+    if args.deep:
+        # ---- encoder / decoder / optimizer attribution -------------------
+        # method-level applies of the SAME bound module, so the segments
+        # sum (modulo glue) to the full forward/backward above.
+        rng_mask = jax.random.key(11)
+
+        def f_enc_fwd(c, p, imgs):
+            latent, _mask, _ids = model.apply(
+                {"params": p}, imgs + c * 1e-12, rng_mask, cfg.mask_ratio,
+                method=MaskedAutoencoderViT.encode,
+            )
+            return jnp.sum(latent.astype(jnp.float32))[None]
+
+        seg("  encoder fwd (patchify+mask+12 blocks)", f_enc_fwd,
+            state.params, imgs0)
+
+        def f_enc_vag(c, p, imgs):
+            def lf(params):
+                latent, _m, _i = model.apply(
+                    {"params": params}, imgs + c * 1e-12, rng_mask,
+                    cfg.mask_ratio, method=MaskedAutoencoderViT.encode,
+                )
+                return jnp.sum(latent.astype(jnp.float32))
+            l, g = jax.value_and_grad(lf)(p)
+            gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+            return l[None] + gsum * 1e-20
+
+        seg("  encoder fwd+bwd", f_enc_vag, state.params, imgs0)
+
+        latent0, _m0, ids0 = jax.jit(
+            lambda p, imgs: model.apply(
+                {"params": p}, imgs, rng_mask, cfg.mask_ratio,
+                method=MaskedAutoencoderViT.encode,
+            )
+        )(state.params, imgs0)
+
+        def f_dec_fwd(c, p, latent, ids):
+            pred = model.apply(
+                {"params": p}, latent + c * 1e-12, ids,
+                method=MaskedAutoencoderViT.decode,
+            )
+            return jnp.sum(pred.astype(jnp.float32))[None]
+
+        seg("  decoder fwd (8 blocks + pred)", f_dec_fwd, state.params,
+            latent0, ids0)
+
+        def f_dec_vag(c, p, latent, ids):
+            def lf(params):
+                pred = model.apply(
+                    {"params": params}, latent + c * 1e-12, ids,
+                    method=MaskedAutoencoderViT.decode,
+                )
+                return jnp.sum(pred.astype(jnp.float32))
+            l, g = jax.value_and_grad(lf)(p)
+            gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+            return l[None] + gsum * 1e-20
+
+        seg("  decoder fwd+bwd", f_dec_vag, state.params, latent0, ids0)
+
+        def seg_opt(name):
+            def looped(st):
+                def body(carry, _):
+                    stc, acc = carry
+                    g = jax.tree_util.tree_map(
+                        lambda x: x * (1e-6 + acc * 1e-20), stc.params
+                    )
+                    stc = stc.apply_gradients(grads=g)
+                    acc = jnp.sum(
+                        stc.params["decoder_pred"]["bias"].astype(jnp.float32)
+                    ) * 1e-12
+                    return (stc, acc), None
+
+                (stc, acc), _ = lax.scan(
+                    body, (st, jnp.float32(0.0)), None, length=iters
+                )
+                return acc[None]
+
+            dt = timed(jax.jit(looped), state)
+            results[name] = dt
+            print(f"{name:<44s} {dt * 1e3:8.2f} ms/iter", flush=True)
+
+        seg_opt("  AdamW update (clip + 112M params)")
 
     # ---- full step -------------------------------------------------------
     step_fn = make_store_pretrain_step(model, max_w)

@@ -287,7 +287,9 @@ def test_pretrain_store_bicubic_matches_pil(store_fixture):
         # reconstruct the stored image and the ORIGINAL-orientation one
         px = np.asarray(pstore.pixels)
         base = int(np.asarray(pstore.base)[i])
-        stored = px[base : base + 384 * w].reshape(384, w, 3)
+        # pool layout is column-major [w, 384]; logical layout is its
+        # transpose (384 rows)
+        stored = px[base : base + 384 * w].reshape(w, 384, 3).transpose(1, 0, 2)
         orig = stored.transpose(1, 0, 2) if transposed_expected else stored
         h0, w0 = orig.shape[:2]
         rng = np.random.default_rng(3)
