@@ -759,19 +759,33 @@ class PretrainDataset:
     @staticmethod
     def sample_crop(rng, h0: int, w0: int):
         """torchvision RandomResizedCrop sampling: 10 attempts of
-        (area-scale, log-ratio), fallback to center crop."""
+        (area-scale, log-ratio); the fallback is torchvision's
+        ratio-clamped MAXIMAL center crop, not a min-side square
+        (reference transform: util/FSC147.py:361-363 via torchvision
+        RandomResizedCrop.get_params)."""
         area = h0 * w0
+        min_ratio, max_ratio = 3 / 4, 4 / 3
         for _ in range(10):
             target = area * rng.uniform(0.2, 1.0)
-            ar = math.exp(rng.uniform(math.log(3 / 4), math.log(4 / 3)))
+            ar = math.exp(rng.uniform(math.log(min_ratio), math.log(max_ratio)))
             cw = int(round(math.sqrt(target * ar)))
             ch = int(round(math.sqrt(target / ar)))
             if 0 < cw <= w0 and 0 < ch <= h0:
                 left = int(rng.integers(0, w0 - cw + 1))
                 top = int(rng.integers(0, h0 - ch + 1))
                 return top, left, ch, cw
-        side = min(h0, w0)
-        return (h0 - side) // 2, (w0 - side) // 2, side, side
+        # torchvision fallback: clamp the whole-image aspect into the
+        # ratio range and take the largest centered crop at that ratio
+        in_ratio = w0 / h0
+        if in_ratio < min_ratio:
+            cw = w0
+            ch = int(round(cw / min_ratio))
+        elif in_ratio > max_ratio:
+            ch = h0
+            cw = int(round(ch * max_ratio))
+        else:
+            cw, ch = w0, h0
+        return (h0 - ch) // 2, (w0 - cw) // 2, ch, cw
 
     def _store_item(self, rng, idx: int) -> Dict:
         """Parameters-only sample: the crop is drawn on the stored

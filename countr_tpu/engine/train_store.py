@@ -544,7 +544,6 @@ def materialize_pretrain_batch(store_arrays: Dict, batch: Dict, max_w: int):
     float images."""
     px = store_arrays["pixels"]
     base = store_arrays["base"]
-    width = store_arrays["width"]
 
     def one(idx, top, left, ch, cw, transposed, flip):
         # The [w, 384] column-major storage has a FIXED stride (384), so

@@ -3,9 +3,10 @@ step (113 ms/batch-16 measured in round 2, never attributed).
 
 Segments, each with the chained-scan + floor-subtraction methodology of
 scripts/profile_train.py:
-  - materialize_pretrain_batch: per-row slab dynamic-slices + two
-    bicubic band einsums (the RandomResizedCrop(384, bicubic) + flip)
-  - slab gather only (the 384 x max_w row slices)
+  - materialize_pretrain_batch: one static-size slab slice per sample
+    (the column-major [w, 384] pool layout) + two bicubic band einsums
+    (the RandomResizedCrop(384, bicubic) + flip)
+  - slab slice only (the single max_w*384 static dynamic_slice)
   - bicubic band matmuls only (on a pre-sliced slab)
   - forward only / forward+backward (MAE loss)
   - FULL resident pretrain step
@@ -280,8 +281,14 @@ def main():
                         lambda x: x * (1e-6 + acc * 1e-20), stc.params
                     )
                     stc = stc.apply_gradients(grads=g)
-                    acc = jnp.sum(
-                        stc.params["decoder_pred"]["bias"].astype(jnp.float32)
+                    # EVERY param leaf feeds the scan output: a single-
+                    # leaf readout lets XLA's while-loop DCE delete the
+                    # other ~112M params' update chains (the hazard
+                    # docs/PROFILE.md records for scan-based optimizer
+                    # microbenches)
+                    acc = sum(
+                        jnp.sum(x.astype(jnp.float32))
+                        for x in jax.tree_util.tree_leaves(stc.params)
                     ) * 1e-12
                     return (stc, acc), None
 
@@ -294,7 +301,7 @@ def main():
             results[name] = dt
             print(f"{name:<44s} {dt * 1e3:8.2f} ms/iter", flush=True)
 
-        seg_opt("  AdamW update (clip + 112M params)")
+        seg_opt("  AdamW update (112M params, all leaves fed)")
 
     # ---- full step -------------------------------------------------------
     step_fn = make_store_pretrain_step(model, max_w)

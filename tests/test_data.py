@@ -156,6 +156,55 @@ def test_pretrain_dataset(meta):
     assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
 
 
+def test_sample_crop_fallback_matches_torchvision():
+    """The 10-attempt fallback must be torchvision's ratio-clamped
+    maximal center crop (reference: util/FSC147.py:361-363 via
+    torchvision RandomResizedCrop.get_params), not a min-side square.
+
+    Extreme-aspect images make every attempt fail regardless of RNG
+    (min ch over the scale/ratio range exceeds the short side), so the
+    return IS the deterministic fallback. torchvision is not installed
+    in this image; the expected values are a literal transcription of
+    torchvision.transforms.RandomResizedCrop.get_params' fallback
+    branch (stable since torchvision 0.8)."""
+
+    def tv_fallback(height, width, ratio=(3 / 4, 4 / 3)):
+        in_ratio = float(width) / float(height)
+        if in_ratio < min(ratio):
+            w = width
+            h = int(round(w / min(ratio)))
+        elif in_ratio > max(ratio):
+            h = height
+            w = int(round(h * max(ratio)))
+        else:  # whole image
+            w = width
+            h = height
+        i = (height - h) // 2
+        j = (width - w) // 2
+        return i, j, h, w
+
+    for h0, w0 in ((10, 1000), (1000, 10), (8, 500), (500, 8)):
+        # every attempt must fail: min crop height over scale*ratio
+        # exceeds the short side
+        import math
+
+        assert math.sqrt(0.2 * h0 * w0 / (4 / 3)) > min(h0, w0)
+        rng = np.random.default_rng(0)
+        top, left, ch, cw = PretrainDataset.sample_crop(rng, h0, w0)
+        i, j, th, tw = tv_fallback(h0, w0)
+        assert (top, left, ch, cw) == (i, j, th, tw), (h0, w0)
+
+
+def test_sample_crop_attempts_within_bounds():
+    rng = np.random.default_rng(3)
+    for h0, w0 in ((400, 500), (384, 384), (385, 4000)):
+        for _ in range(50):
+            top, left, ch, cw = PretrainDataset.sample_crop(rng, h0, w0)
+            assert 0 <= top and top + ch <= h0
+            assert 0 <= left and left + cw <= w0
+            assert ch > 0 and cw > 0
+
+
 def test_dataloader_batching_and_determinism(meta):
     ds = TrainDataset(meta, split="train", do_aug=False)
     dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=5)
