@@ -51,10 +51,10 @@ def get_args():
                         "countr_tpu.ops.augment)")
     p.add_argument("--resident_data", action="store_true",
                    help="upload the decoded train split to HBM once "
-                        "and materialize every augmented batch on "
-                        "device from per-sample geometry scalars "
-                        "(~KBs/step H2D; single-process; see "
-                        "countr_tpu.engine.train_store)")
+                        "(replicated over the device mesh) and "
+                        "materialize every augmented batch on device "
+                        "from per-sample geometry scalars (~KBs/step "
+                        "H2D; see countr_tpu.engine.train_store)")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
@@ -161,14 +161,23 @@ def main(args):
     n_proc, proc_id = jax.process_count(), jax.process_index()
     device_aug = getattr(args, "device_aug", False) and not args.no_aug
     resident = getattr(args, "resident_data", False) and not args.no_aug
+
+    mesh = get_mesh(args.n_devices or None)
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev != 0:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by the "
+            f"{n_dev}-device mesh"
+        )
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+
     store = None
     if resident:
-        if n_proc > 1:
-            raise SystemExit("--resident_data is single-process only")
         from countr_tpu.engine.train_store import build_store
-        from countr_tpu.data.fsc147 import FSC147Meta  # noqa: F401
 
-        store = build_store(meta, meta.splits["train"])
+        # pool replicated over the mesh (every process decodes its own
+        # copy, like a DDP rank); per-step geometry shards on 'data'
+        store = build_store(meta, meta.splits["train"], mesh=mesh)
     train_ds = TrainDataset(
         meta, do_aug=not args.no_aug, seed=args.seed, device_aug=device_aug,
         store_index=store.index if store else None,
@@ -205,15 +214,6 @@ def main(args):
         freeze_encoder=model.cfg.freeze_encoder,
     )
     state = init_train_state(params["params"], tx)
-
-    mesh = get_mesh(args.n_devices or None)
-    n_dev = mesh.devices.size
-    if args.batch_size % n_dev != 0:
-        raise SystemExit(
-            f"--batch_size {args.batch_size} must be divisible by the "
-            f"{n_dev}-device mesh"
-        )
-    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
     state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
 
     start_epoch = 0
@@ -245,7 +245,7 @@ def main(args):
 
         # validation is resident too: the fixed 384^2 val samples would
         # otherwise re-upload every epoch
-        val_store = build_val_store(val_ds)
+        val_store = build_val_store(val_ds, mesh=mesh)
         store_eval = make_store_eval_step(model)
     else:
         train_step = make_finetune_step(model, tcfg, device_aug=device_aug)
@@ -318,20 +318,31 @@ def main(args):
         # sliced back off.
         v_err, v_sq, v_nae, v_n = 0.0, 0.0, 0.0, 0
         if resident:
-            # resident val: index-gather batches from the HBM ValStore
+            # resident val: index-gather batches from the HBM ValStore.
+            # The eval returns GLOBAL sums, so on multi-process meshes
+            # each process contributes any 1/n_proc slice of the index
+            # vector — the partition does not affect the metric.
             varrs = val_store.arrays
             vb = args.batch_size
+            lb = vb // n_proc
             for i0 in range(0, val_store.n, vb):
                 take_n = min(vb, val_store.n - i0)
-                idxs = np.arange(i0, i0 + vb) % val_store.n
+                idxs = (np.arange(i0, i0 + vb) % val_store.n).astype(np.int32)
                 valid = np.concatenate(
                     [np.ones(take_n, np.float32),
                      np.zeros(vb - take_n, np.float32)]
                 )
+                if n_proc > 1:
+                    gb = make_global_batch(mesh, {
+                        "idxs": idxs[proc_id * lb : (proc_id + 1) * lb],
+                        "valid": valid[proc_id * lb : (proc_id + 1) * lb],
+                    })
+                    idxs_dev, valid_dev = gb["idxs"], gb["valid"]
+                else:
+                    idxs_dev = jax.device_put(idxs, bsh)
+                    valid_dev = jax.device_put(valid, bsh)
                 em = store_eval(
-                    state.params, varrs,
-                    jax.device_put(idxs.astype(np.int32), bsh),
-                    jax.device_put(valid, bsh),
+                    state.params, varrs, idxs_dev, valid_dev,
                     py_rng.randint(0, 3),
                 )
                 v_err += float(em["err_sum"])

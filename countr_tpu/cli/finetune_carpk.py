@@ -86,11 +86,13 @@ def main(args):
 
     src = load_carpk("train", args.carpk_root)
     resident = getattr(args, "resident_data", False)
+    mesh = get_mesh(args.n_devices or None)
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
     store = None
     if resident:
         from countr_tpu.engine.carpk_store import build_carpk_store
 
-        store = build_carpk_store(src)
+        store = build_carpk_store(src, mesh=mesh)
         steps_per_epoch = len(src) // args.batch_size
         dl = None
     else:
@@ -117,9 +119,6 @@ def main(args):
         freeze_encoder=model.cfg.freeze_encoder,
     )
     state = init_train_state(params["params"], tx)
-
-    mesh = get_mesh(args.n_devices or None)
-    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
     state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
     if resident:
         from countr_tpu.engine.carpk_store import exemplar_geometry

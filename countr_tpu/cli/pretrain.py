@@ -45,10 +45,11 @@ def get_args():
     p.add_argument("--accum_iter", default=1, type=int)
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--resident_data", action="store_true",
-                   help="upload the decoded train split to HBM once; "
-                        "the RandomResizedCrop+flip runs on device from "
-                        "crop scalars (~30 B/sample H2D; single-process; "
-                        "see countr_tpu.engine.train_store)")
+                   help="upload the decoded train split to HBM once "
+                        "(replicated over the device mesh); the "
+                        "RandomResizedCrop+flip runs on device from "
+                        "crop scalars (~30 B/sample H2D; see "
+                        "countr_tpu.engine.train_store)")
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
                         "on many-core hosts)")
@@ -139,13 +140,21 @@ def main(args):
 
     n_proc = jax.process_count()
     resident = getattr(args, "resident_data", False)
+
+    mesh = get_mesh(args.n_devices or None)
+    if args.batch_size % mesh.devices.size != 0:
+        raise SystemExit(
+            f"--batch_size must be divisible by {mesh.devices.size} devices"
+        )
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+
     store = None
     if resident:
-        if n_proc > 1:
-            raise SystemExit("--resident_data is single-process only")
         from countr_tpu.engine.train_store import build_pretrain_store
 
-        store = build_pretrain_store(meta, meta.splits["train"])
+        # pool replicated over the mesh (every process decodes its own
+        # copy); per-step crop scalars shard on 'data'
+        store = build_pretrain_store(meta, meta.splits["train"], mesh=mesh)
     ds = PretrainDataset(meta, seed=args.seed, store=store)
     # multi-host: global --batch_size, per-process slice loading (see
     # finetune.py / parallel.mesh.make_global_batch)
@@ -169,13 +178,6 @@ def main(args):
         args.batch_size * args.accum_iter,  # eff batch for blr scaling
         )
     state = init_train_state(params["params"], tx)
-
-    mesh = get_mesh(args.n_devices or None)
-    if args.batch_size % mesh.devices.size != 0:
-        raise SystemExit(
-            f"--batch_size must be divisible by {mesh.devices.size} devices"
-        )
-    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
     state = jax.tree.map(lambda x: jax.device_put(x, rsh), state)
 
     start_epoch = 0
@@ -207,7 +209,11 @@ def main(args):
         for batch in device_prefetch(
             dl.epoch(epoch),
             put=lambda b: (
-                {k: jax.device_put(b[k], bsh) for k in _STORE_KEYS}
+                (
+                    make_global_batch(mesh, {k: b[k] for k in _STORE_KEYS})
+                    if n_proc > 1
+                    else {k: jax.device_put(b[k], bsh) for k in _STORE_KEYS}
+                )
                 if resident
                 else make_global_batch(mesh, b["image"]) if n_proc > 1
                 else jax.device_put(b["image"], bsh)

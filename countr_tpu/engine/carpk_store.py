@@ -50,10 +50,13 @@ class CarpkStore:
     src_w: int
 
 
-def build_carpk_store(src: Sequence, log=print) -> CarpkStore:
+def build_carpk_store(src: Sequence, log=print, mesh=None) -> CarpkStore:
     """Decode + upload the whole split once. Requires uniform source
     image shapes (CARPK is 720x1280 throughout); raises otherwise —
-    fall back to the host pipeline for heterogeneous data."""
+    fall back to the host pipeline for heterogeneous data. With
+    ``mesh``, the store replicates onto every device so the jitted step
+    can shard its geometry batch on 'data' (see
+    engine.train_store.build_store)."""
     n = len(src)
     first = src[0]
     h0, w0 = first["image"].shape[:2]
@@ -88,16 +91,16 @@ def build_carpk_store(src: Sequence, log=print) -> CarpkStore:
 
     ry0, ry1, rwy = resample_maps(h0, RES_H)
     cx0, cx1, cwx = resample_maps(w0, RES_W)
-    arrays = {
-        "pixels": jnp.asarray(pix),
-        "dots": jnp.asarray(dots_np),
-        "n_dots": jnp.asarray(n_dots),
+    from countr_tpu.parallel.mesh import replicate_to_mesh
+
+    arrays = replicate_to_mesh(mesh, {
+        "pixels": pix,
+        "dots": dots_np,
+        "n_dots": n_dots,
         # static resize maps; columns cropped to the left CROP outputs
-        "ry0": jnp.asarray(ry0), "ry1": jnp.asarray(ry1),
-        "rwy": jnp.asarray(rwy),
-        "cx0": jnp.asarray(cx0[:CROP]), "cx1": jnp.asarray(cx1[:CROP]),
-        "cwx": jnp.asarray(cwx[:CROP]),
-    }
+        "ry0": ry0, "ry1": ry1, "rwy": rwy,
+        "cx0": cx0[:CROP], "cx1": cx1[:CROP], "cwx": cwx[:CROP],
+    })
     log(
         f"[carpk-store] {n} images resident "
         f"({pix.nbytes / 1e9:.2f} GB uint8 + {dots_np.nbytes / 1e6:.2f} MB dots)"

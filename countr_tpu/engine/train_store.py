@@ -28,8 +28,13 @@ The photometric chain and density synthesis reuse countr_tpu.ops.augment
 (mosaic samples skip photometric, like the reference's clean cells).
 
 Per-step H2D: ~100 floats + the dot coordinates per sample (a few KB) —
-three orders of magnitude below pixel shipping. Single-process only
-(each process would hold its own slice on a pod; not wired here).
+three orders of magnitude below pixel shipping.
+
+Multi-chip: pass a mesh to the builders — the pool replicates onto
+every device (and every host on a pod, each decoding its own copy like
+a DDP rank) while the per-step geometry batch shards on the 'data'
+axis; XLA partitions the materialization + model step and emits the
+gradient all-reduce exactly as in the host-pipeline path.
 """
 
 from __future__ import annotations
@@ -78,10 +83,14 @@ class TrainStore:
         }
 
 
-def build_store(meta, ids: List[str], log=print) -> TrainStore:
+def build_store(meta, ids: List[str], log=print, mesh=None) -> TrainStore:
     """Decode + flex-resize every image once, flatten into the pixel
     pool, crop the (clean-image) exemplars (reference:
-    util/FSC147.py:281-299), and upload."""
+    util/FSC147.py:281-299), and upload. With ``mesh``, the pool is
+    REPLICATED onto every device (multi-host safe) so the jitted store
+    step can shard its geometry batch on the 'data' axis — the mesh
+    equivalent of the reference's per-rank dataset copy under DDP
+    (reference: FSC_finetune_cross.py:178-210, :229-231)."""
     from countr_tpu.data import transforms as T
 
     n = len(ids)
@@ -122,13 +131,19 @@ def build_store(meta, ids: List[str], log=print) -> TrainStore:
     pool = _pack_rgb(np.concatenate(chunks, axis=0))
     log(f"store: {n} images, {off * 4 / 1e6:.0f} MB pixels "
         f"+ {exemplars.nbytes / 1e6:.0f} MB exemplars -> device")
+    from countr_tpu.parallel.mesh import replicate_to_mesh
+
+    dev = replicate_to_mesh(mesh, {
+        "pixels": pool, "exemplars": exemplars,
+        "base": bases.astype(np.int32), "width": widths, "height": heights,
+    })
     return TrainStore(
         ids=list(ids),
-        pixels=jax.device_put(pool),
-        exemplars=jax.device_put(exemplars),
-        base=jax.device_put(bases.astype(np.int32)),
-        width=jax.device_put(widths),
-        height=jax.device_put(heights),
+        pixels=dev["pixels"],
+        exemplars=dev["exemplars"],
+        base=dev["base"],
+        width=dev["width"],
+        height=dev["height"],
         h_np=heights.copy(),
         w_np=widths.copy(),
         index={im_id: i for i, im_id in enumerate(ids)},
@@ -410,9 +425,10 @@ class ValStore:
                 "gt_cnt": self.gt_cnt}
 
 
-def build_val_store(val_ds, log=print) -> ValStore:
+def build_val_store(val_ds, log=print, mesh=None) -> ValStore:
     """Materialize a ValDataset (data.fsc147.ValDataset preprocessing:
-    384^2 resize, sigma=4/radius=7 density, exemplar crops) once."""
+    384^2 resize, sigma=4/radius=7 density, exemplar crops) once.
+    With ``mesh``, replicated onto every device (see build_store)."""
     n = len(val_ds)
     images = np.zeros((n, IMG_SIZE, IMG_SIZE, 3), np.uint8)
     boxes = np.zeros((n, MAX_SHOTS, EXEMPLAR_SIZE, EXEMPLAR_SIZE, 3), np.float32)
@@ -428,9 +444,11 @@ def build_val_store(val_ds, log=print) -> ValStore:
             log(f"val store: {i + 1}/{n}")
     log(f"val store: {n} samples, "
         f"{(images.nbytes + boxes.nbytes) / 1e6:.0f} MB -> device")
+    from countr_tpu.parallel.mesh import replicate_to_mesh
+
+    dev = replicate_to_mesh(mesh, {"images": images, "boxes": boxes, "gt": gt})
     return ValStore(
-        images=jax.device_put(images), boxes=jax.device_put(boxes),
-        gt_cnt=jax.device_put(gt), n=n,
+        images=dev["images"], boxes=dev["boxes"], gt_cnt=dev["gt"], n=n,
     )
 
 
@@ -468,7 +486,11 @@ class PretrainStore:
         return {"pixels": self.pixels, "base": self.base, "width": self.width}
 
 
-def build_pretrain_store(meta, ids: List[str], log=print) -> PretrainStore:
+def build_pretrain_store(meta, ids: List[str], log=print,
+                         mesh=None) -> PretrainStore:
+    """With ``mesh``, the pool is replicated onto every device so the
+    jitted pretrain store step shards its crop-scalar batch on 'data'
+    (see build_store)."""
     from countr_tpu.data import transforms as T
 
     n = len(ids)
@@ -500,10 +522,14 @@ def build_pretrain_store(meta, ids: List[str], log=print) -> PretrainStore:
     chunks.append(np.zeros((IMG_SIZE * max_w, 3), np.uint8))
     pool = np.concatenate(chunks, axis=0)
     log(f"pretrain store: {n} images, {pool.nbytes / 1e6:.0f} MB -> device")
+    from countr_tpu.parallel.mesh import replicate_to_mesh
+
+    dev = replicate_to_mesh(mesh, {
+        "pixels": pool, "base": bases.astype(np.int32), "width": widths,
+    })
     return PretrainStore(
-        ids=list(ids), pixels=jax.device_put(pool),
-        base=jax.device_put(bases.astype(np.int32)),
-        width=jax.device_put(widths), w_np=widths.copy(), t_np=tflags,
+        ids=list(ids), pixels=dev["pixels"], base=dev["base"],
+        width=dev["width"], w_np=widths.copy(), t_np=tflags,
         max_w=max_w, index={im_id: i for i, im_id in enumerate(ids)},
     )
 

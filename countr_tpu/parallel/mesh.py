@@ -49,6 +49,25 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def replicate_to_mesh(mesh: Optional[Mesh], tree):
+    """Replicate host arrays onto EVERY device of the mesh (resident
+    stores: the pixel pool lives next to the params on each chip, like
+    the reference's per-rank dataset copy under DDP). Multi-host safe:
+    every process passes its identical full copy and the global
+    replicated jax.Array is assembled without cross-host traffic
+    (``make_array_from_process_local_data`` with an unpartitioned
+    spec). mesh=None keeps the single-device default placement."""
+    if mesh is None:
+        return jax.tree.map(jax.device_put, tree)
+    sh = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree,
+    )
+
+
 def make_global_batch(mesh: Mesh, local_batch):
     """Assemble a globally-sharded batch from per-process local arrays.
 

@@ -162,3 +162,59 @@ def test_two_process_finetune_matches_single(mh_fixture, tmp_path):
         assert mp["train/loss"] == pytest.approx(sp["train/loss"], rel=1e-4)
         assert mp["val/MAE"] == pytest.approx(sp["val/MAE"], rel=1e-4)
         assert mp["val/RMSE"] == pytest.approx(sp["val/RMSE"], rel=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_resident_store_matches_single(mh_fixture, tmp_path):
+    """--resident_data on a 2-process mesh: the pixel pool replicates
+    onto every process's devices (make_array_from_process_local_data)
+    while per-step geometry shards on 'data'; the loss/metric
+    trajectory must match a single-process resident run of the same
+    global batch (the reference's DDP equivalence for its dataloader
+    path, FSC_finetune_cross.py:229-231)."""
+    worker = os.path.join(REPO, "tests", "mh_worker.py")
+    port = _free_port()
+
+    shared_out = str(tmp_path / "mp_res")
+    procs = []
+    for pid in range(2):
+        result = str(tmp_path / f"res_result_{pid}.json")
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker, "--fsc_dir", mh_fixture,
+                 "--outdir", shared_out, "--result", result, "--resident"],
+                env=_worker_env(1, f"localhost:{port}", 2, pid),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    try:
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    single_out = str(tmp_path / "res_single")
+    proc = subprocess.Popen(
+        [sys.executable, worker, "--fsc_dir", mh_fixture,
+         "--outdir", single_out, "--result",
+         str(tmp_path / "res_result_single.json"), "--single", "--resident"],
+        env=_worker_env(2),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        out = proc.communicate(timeout=900)[0].decode()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-3000:]
+
+    mp_log = _read_log(shared_out)
+    sp_log = _read_log(single_out)
+    assert len(mp_log) == len(sp_log) == 2
+    for mp, sp in zip(mp_log, sp_log):
+        assert mp["train/loss"] == pytest.approx(sp["train/loss"], rel=1e-4)
+        assert mp["val/MAE"] == pytest.approx(sp["val/MAE"], rel=1e-4)
+        assert mp["val/RMSE"] == pytest.approx(sp["val/RMSE"], rel=1e-4)

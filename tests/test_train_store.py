@@ -224,6 +224,145 @@ def test_store_step_end_to_end(store_fixture):
     assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
 
 
+def test_store_step_sharded_matches_unsharded(store_fixture):
+    """The resident fine-tune step over the 8-device mesh (pool
+    replicated, geometry sharded on 'data') must produce the same loss
+    and parameter update as the single-device run — the multi-chip
+    resident training mode (reference equivalent: DDP-wrapped training,
+    FSC_finetune_cross.py:229-231)."""
+    from countr_tpu.config import CounTRConfig, TrainConfig
+    from countr_tpu.data.fsc147 import TrainDataset
+    from countr_tpu.data.loader import DataLoader
+    from countr_tpu.engine.train import (
+        init_train_state, make_optimizer, make_store_finetune_step,
+    )
+    from countr_tpu.models.countr import CounTR
+    from countr_tpu.parallel.mesh import (
+        batch_sharding, get_mesh, replicated_sharding,
+    )
+
+    meta, store = store_fixture
+    import countr_tpu.engine.train_store as TS_mod
+
+    mesh = get_mesh(8)
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+    mstore = TS_mod.build_store(
+        meta, list(store.ids), log=lambda *_: None, mesh=mesh
+    )
+    ds = TrainDataset(meta, seed=0, store_index=mstore.index)
+    ds.set_epoch(1)
+    items = [ds[i % len(ds)] for i in range(8)]
+    keys = ("img_idx", "affine_C", "affine_d", "is_mosaic", "cell_idx",
+            "cell_top", "cell_left", "cell_len", "blend_l", "dots", "n_dots")
+    batch = {k: np.stack([np.asarray(s[k]) for s in items]) for k in keys}
+
+    cfg = CounTRConfig(
+        img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+    )
+    model = CounTR(cfg)
+    tcfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=0, lr=1e-4)
+    tx, _ = make_optimizer(tcfg, 1, 8)
+    step = make_store_finetune_step(model, tcfg)
+
+    def run(sharded: bool):
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 384, 384, 3)),
+            jnp.zeros((1, 3, 64, 64, 3)), 3,
+        )["params"]
+        st = init_train_state(params, tx)
+        if sharded:
+            st = jax.tree.map(lambda x: jax.device_put(x, rsh), st)
+            dev = {k: jax.device_put(np.asarray(batch[k]), bsh) for k in keys}
+            arrays = mstore.arrays
+        else:
+            dev = {k: jnp.asarray(batch[k]) for k in keys}
+            arrays = store.arrays
+        st, m = step(st, arrays, dev, jax.random.key(1), 3)
+        return float(m["loss"]), jax.device_get(st.params)
+
+    # the materialized pixels must be identical across placements
+    mat = jax.jit(TS_mod.materialize_batch, static_argnums=(2,))
+    img_1, box_1 = mat(
+        store.arrays, {k: jnp.asarray(batch[k]) for k in keys[:9]}, None
+    )
+    img_8, box_8 = mat(
+        mstore.arrays,
+        {k: jax.device_put(batch[k], bsh) for k in keys[:9]}, None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_8), np.asarray(img_1), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(box_8), np.asarray(box_1), atol=2e-6
+    )
+
+    loss_1, params_1 = run(False)
+    loss_8, params_8 = run(True)
+    assert loss_8 == pytest.approx(loss_1, rel=1e-5)
+    # after one AdamW step the update is +-lr*m/sqrt(v); where the
+    # gradient is ~0 the cross-placement reduction-order noise can flip
+    # the sign, so elementwise diffs are bounded by ~2*lr, not by float
+    # noise — assert that bound (lr=1e-4)
+    for a, b in zip(jax.tree.leaves(params_1), jax.tree.leaves(params_8)):
+        np.testing.assert_allclose(a, b, atol=2.5e-4)
+
+
+def test_pretrain_store_step_sharded(store_fixture):
+    """Resident MAE pretrain step over the 8-device mesh: same loss as
+    the single-device run."""
+    import dataclasses
+
+    from countr_tpu.config import MAE_PRESETS, TrainConfig
+    from countr_tpu.data.fsc147 import PretrainDataset
+    from countr_tpu.engine.train import (
+        init_train_state, make_optimizer, make_store_pretrain_step,
+    )
+    from countr_tpu.models.mae import MaskedAutoencoderViT
+    from countr_tpu.parallel.mesh import (
+        batch_sharding, get_mesh, replicated_sharding,
+    )
+
+    meta, _ = store_fixture
+    ids = list(meta.splits["train"])
+    mesh = get_mesh(8)
+    bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+    p_plain = TS.build_pretrain_store(meta, ids, log=lambda *_: None)
+    p_mesh = TS.build_pretrain_store(meta, ids, log=lambda *_: None, mesh=mesh)
+    ds = PretrainDataset(meta, seed=0, store=p_plain)
+    items = [ds[i % len(ds)] for i in range(8)]
+    keys = ("img_idx", "crop_top", "crop_left", "crop_h", "crop_w",
+            "transposed", "flip")
+    batch = {k: np.stack([s[k] for s in items]) for k in keys}
+
+    cfg = dataclasses.replace(
+        MAE_PRESETS["mae_vit_base_patch16"], embed_dim=32, depth=1,
+        num_heads=2, decoder_embed_dim=32, decoder_depth=1,
+        decoder_num_heads=2,
+    )
+    model = MaskedAutoencoderViT(cfg)
+    tcfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=0, lr=1e-4)
+    tx, _ = make_optimizer(tcfg, 1, 8)
+    step = make_store_pretrain_step(model, p_plain.max_w)
+
+    def run(sharded: bool):
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 384, 384, 3)), jax.random.key(1)
+        )["params"]
+        st = init_train_state(params, tx)
+        if sharded:
+            st = jax.tree.map(lambda x: jax.device_put(x, rsh), st)
+            dev = {k: jax.device_put(batch[k], bsh) for k in keys}
+            arrays = p_mesh.arrays
+        else:
+            dev = {k: jnp.asarray(batch[k]) for k in keys}
+            arrays = p_plain.arrays
+        st, m = step(st, arrays, dev, jax.random.key(2))
+        return float(m["loss"])
+
+    assert run(True) == pytest.approx(run(False), rel=1e-5)
+
+
 def test_materialize_mosaic_prefix_bucketing(store_fixture):
     """Sorted batch + bucketed n_mosaic == full materialization: the
     mosaic-prefix fast path (mosaic_bucket / sort_mosaic_first) must
