@@ -42,6 +42,7 @@ def main():
 
     from countr_tpu.engine.inference import CountingEngine
     from countr_tpu.models import build_countr
+    from countr_tpu.parallel.mesh import get_mesh
     from countr_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -60,7 +61,12 @@ def main():
         jnp.zeros((1, 3, 64, 64, 3), jnp.float32),
         3,
     )
-    engine = CountingEngine(model, params, batch_windows=BATCH_WINDOWS)
+    # All-device mesh: on a single chip this is the plain path; on a
+    # multi-chip host window batches shard across 'data' (the reference
+    # evaluates under DDP too, FSC_test_cross(few-shot).py:229-231).
+    engine = CountingEngine(
+        model, params, batch_windows=BATCH_WINDOWS, mesh=get_mesh()
+    )
 
     def device_windows_per_sec(iters: int = 10) -> float:
         """Pure on-device window-forward rate (no host/tunnel): iters
@@ -131,6 +137,7 @@ def main():
 
     # Best of 5 timed passes: the tunneled-TPU link bandwidth is shared
     # and noisy; best-of reflects the pipeline's actual capability.
+    engine.h2d_bytes = 0
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -142,12 +149,28 @@ def main():
 
     n_windows = sum(r.n_windows for r in results)
     ips = len(images) / dt
+    # H2D accounting: the engine uploads uint8 pixels + the window plan
+    # once per image per pass. On this machine the tunnel link
+    # (15-30 MB/s) dominates end-to-end; model what the same pipeline
+    # does behind a PCIe-class link (~10 GB/s) so the e2e number is
+    # interpretable beyond the tunnel: per image the device needs
+    # n_windows/n_images forwards at dev_wps, plus the PCIe transfer.
+    h2d_per_img = engine.h2d_bytes / (5 * len(images))
+    dev_s_per_img = (n_windows / len(images)) / max(dev_wps, 1e-9)
+    pcie_s_per_img = h2d_per_img / 10e9
+    projected_pcie_ips = 1.0 / (dev_s_per_img + pcie_s_per_img)
+    note(
+        f"h2d {h2d_per_img / 1e3:.0f} KB/image; tunnel-link e2e "
+        f"{ips:.1f} img/s; modeled PCIe-host e2e "
+        f"{projected_pcie_ips:.0f} img/s (device-bound)"
+    )
     out = {
         "metric": "FSC147-geometry few-shot sliding-window throughput",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
         "device_windows_per_sec": round(dev_wps, 1),
+        "h2d_bytes_per_image": round(h2d_per_img),
         "detail": {
             "n_images": len(images),
             "n_windows": n_windows,
@@ -156,6 +179,7 @@ def main():
             "dtype": "bfloat16",
             "model": "mae_vit_base6_patch16",
             "pass_times_s": [round(t, 3) for t in times],
+            "projected_pcie_host_images_per_sec": round(projected_pcie_ips, 1),
         },
     }
     print(json.dumps(out))

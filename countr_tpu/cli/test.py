@@ -41,6 +41,11 @@ def get_args():
     p.add_argument("--batch_images", default=16, type=int,
                    help="images pooled per device flush")
     p.add_argument("--batch_windows", default=32, type=int)
+    p.add_argument("--n_devices", default=0, type=int,
+                   help="shard window batches over the first N devices "
+                        "of the mesh (0 = all; the reference evaluates "
+                        "under DDP too, FSC_test_cross(few-shot).py"
+                        ":229-231)")
     p.add_argument("--narrow_policy", default="pad",
                    choices=["pad", "reference"])
     p.add_argument("--save_viz", action="store_true",
@@ -84,6 +89,7 @@ def check_expectations(stats: dict, args) -> list:
 def main(args):
     from countr_tpu.data.fsc147 import TestDataset
     from countr_tpu.engine.inference import CountingEngine
+    from countr_tpu.parallel.mesh import get_mesh
 
     meta = common.load_meta(args)
     model, params = common.build_counting_model(args)
@@ -92,12 +98,16 @@ def main(args):
     ds = TestDataset(
         meta, split=args.split, external=args.external, box_bound=args.box_bound
     )
+    # multi-chip inference: window batches shard over the mesh (a
+    # 1-device mesh is the plain single-chip path)
+    mesh = get_mesh(getattr(args, "n_devices", 0) or None)
     engine = CountingEngine(
         model, params,
         batch_windows=args.batch_windows,
         normalization=not args.no_normalization,
         max_s_cnt=args.max_s_cnt,
         narrow_policy=args.narrow_policy,
+        mesh=mesh,
     )
 
     n = len(ds) if args.limit <= 0 else min(args.limit, len(ds))

@@ -97,6 +97,12 @@ class CountingEngine:
         mesh=None,
     ):
         self.model = model
+        if mesh is not None and mesh.devices.size > 1:
+            # replicate params onto every mesh device ONCE; otherwise
+            # each sharded forward re-lays them out from device 0
+            from countr_tpu.parallel.mesh import replicated_sharding
+
+            params = jax.device_put(params, replicated_sharding(mesh))
         self.params = params
         self.batch_windows = batch_windows
         self.images_bucket = images_bucket

@@ -32,10 +32,29 @@ def _test_args(fsc_dir, outdir, **over):
         output_dir=outdir, model="tiny384", resume="", dtype="fp32", seed=0,
         split="test", external=False, box_bound=-1, max_s_cnt=1,
         no_normalization=False, batch_images=4, batch_windows=4,
-        narrow_policy="pad", save_viz=True, limit=0,
+        narrow_policy="pad", save_viz=True, limit=0, n_devices=0,
     )
     base.update(over)
     return argparse.Namespace(**base)
+
+
+def test_cli_test_mesh_matches_single_device(fsc_dir, tmp_path):  # noqa: F811
+    """cli.test over the 8-device mesh (window batches sharded across
+    'data') must reproduce the single-device metrics — the CLI-level
+    multi-chip inference path (reference evaluates under DDP:
+    FSC_test_cross(few-shot).py:229-231)."""
+    from countr_tpu.cli import test as cli_test
+
+    stats_1 = cli_test.main(_test_args(
+        fsc_dir, str(tmp_path / "d1"), n_devices=1, batch_windows=8,
+        save_viz=False,
+    ))
+    stats_8 = cli_test.main(_test_args(
+        fsc_dir, str(tmp_path / "d8"), n_devices=8, batch_windows=8,
+        save_viz=False,
+    ))
+    assert stats_8["MAE"] == pytest.approx(stats_1["MAE"], rel=1e-4, abs=1e-6)
+    assert stats_8["RMSE"] == pytest.approx(stats_1["RMSE"], rel=1e-4, abs=1e-6)
 
 
 def test_cli_test_few_shot(fsc_dir, tmp_path):  # noqa: F811
