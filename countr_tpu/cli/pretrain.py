@@ -287,6 +287,12 @@ def main(args):
                 os.path.join(outdir, "ckpt_periodic"), epoch,
                 jax.device_get(state), keep=5,
             )
+            # reference uploads every saved checkpoint as a W&B
+            # artifact (util/misc.py:331-335); host-only, rank 0
+            if main_proc:
+                wandb.log_artifact(
+                    os.path.join(outdir, "ckpt_periodic"), "pretrain_periodic"
+                )
         last_every = max(1, getattr(args, "ckpt_last_every", 1))
         if outdir and (epoch % last_every == 0 or epoch + 1 == args.epochs):
             ckpt.save_checkpoint(
@@ -299,6 +305,10 @@ def main(args):
                 os.path.join(outdir, "ckpt_params"), epoch,
                 {"params": jax.device_get(state.params)}, keep=1,
             )
+            if main_proc:
+                wandb.log_artifact(
+                    os.path.join(outdir, "ckpt_params"), "pretrain_params"
+                )
     tb.flush()
 
 

@@ -72,11 +72,35 @@ def test_cli_pretrain_one_epoch(fsc_dir, tmp_path):  # noqa: F811
         ckpt_every=0, do_resume=False, recon_every=0, limit_steps=1,
         n_devices=2,
     )
-    pretrain.main(args)
+    # the reference uploads every saved checkpoint as a W&B artifact
+    # (util/misc.py:331-335) — record the pretrain CLI's upload calls
+    from countr_tpu.cli import common as cli_common
+
+    uploads = []
+
+    class _RecordingWandb:
+        def log(self, *a, **k):
+            pass
+
+        def image(self, *a, **k):
+            pass
+
+        def log_artifact(self, path, name, kind="model"):
+            uploads.append((path, name))
+
+    orig = cli_common.make_wandb
+    cli_common.make_wandb = lambda *a, **k: _RecordingWandb()
+    try:
+        pretrain.main(args)
+    finally:
+        cli_common.make_wandb = orig
     rec = json.loads(open(os.path.join(out, "log.txt")).read().splitlines()[-1])
     assert rec["train/loss"] > 0
     assert os.path.isdir(os.path.join(out, "ckpt_last"))
     assert os.path.isdir(os.path.join(out, "ckpt_params"))
+    names = {n for _, n in uploads}
+    assert "pretrain_params" in names
+    assert "pretrain_periodic" in names  # final epoch also saves periodic
 
     # chain: finetune with the encoder initialized from the orbax MAE
     # params checkpoint (the reproduce.sh handoff)
