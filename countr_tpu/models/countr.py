@@ -79,10 +79,18 @@ class CrossAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        x = x + SelfAttention(
-            self.num_heads, dtype=self.dtype, use_pallas=self.use_pallas,
-            name="selfattn",
-        )(LayerNorm(self.ln_eps, self.dtype, name="norm0")(x))
+        if self.use_pallas and jnp.dtype(self.dtype) == jnp.bfloat16:
+            from countr_tpu.models.vit import fused_attn_branch
+
+            x = fused_attn_branch(
+                x.astype(jnp.bfloat16), "norm0", "selfattn", self,
+                self.num_heads, self.ln_eps,
+            )
+        else:
+            x = x + SelfAttention(
+                self.num_heads, dtype=self.dtype, use_pallas=self.use_pallas,
+                name="selfattn",
+            )(LayerNorm(self.ln_eps, self.dtype, name="norm0")(x))
         x = x + CrossAttention(self.num_heads, dtype=self.dtype, name="attn")(
             LayerNorm(self.ln_eps, self.dtype, name="norm1")(x), y
         )

@@ -109,6 +109,51 @@ class LayerNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
+class _LNParams(nn.Module):
+    """Parameter container matching ``LayerNorm`` exactly (same param
+    names/shapes/inits), so the fused attention-block path and the
+    module path share one checkpoint layout."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Parameter container matching ``nn.Dense`` (kernel [in, out],
+    zero bias, xavier-uniform kernel)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", xavier_uniform, (self.in_dim, self.out_dim), jnp.float32
+        )
+        b = self.param(
+            "bias", nn.initializers.zeros, (self.out_dim,), jnp.float32
+        )
+        return k, b
+
+
+class _AttnParams(nn.Module):
+    """Parameter container matching ``SelfAttention`` (children ``qkv``
+    and ``proj``), for the fused attention-block kernel."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        qkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        proj = _DenseParams(self.dim, self.dim, name="proj")()
+        return qkv, proj
+
+
 class SelfAttention(nn.Module):
     """Fused-qkv MHSA (reference: models_crossvit.py:69-94)."""
 
@@ -139,8 +184,56 @@ class SelfAttention(nn.Module):
         )(y)
 
 
+class _MlpParams(nn.Module):
+    """Parameter container matching ``Mlp`` (children ``fc1``/``fc2``)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        fc2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return fc1, fc2
+
+
+def fused_mlp_branch(x, ln_name, mlp_name, parent, hidden, ln_eps,
+                     approx_gelu):
+    """``x + fc2(gelu(fc1(LN(x))))`` via the one-kernel Pallas fused MLP
+    block (ops/pallas_block.py); same param tree as LayerNorm + Mlp."""
+    from countr_tpu.ops.pallas_block import fused_mlp_block
+
+    c = x.shape[-1]
+    lns, lnb = _LNParams(c, name=ln_name, parent=parent)()
+    (w1, b1), (w2, b2) = _MlpParams(c, hidden, name=mlp_name, parent=parent)()
+    return fused_mlp_block(
+        x, lns, lnb, w1, b1, w2, b2, eps=ln_eps, approx_gelu=approx_gelu
+    )
+
+
+def fused_attn_branch(x, ln_name, attn_name, parent, num_heads, ln_eps):
+    """``x + proj(MHA(qkv(LN(x))))`` via the one-kernel Pallas fused
+    attention block (ops/pallas_block.py). Declares the SAME param tree
+    as the LayerNorm/SelfAttention module pair it replaces."""
+    from countr_tpu.ops.pallas_block import fused_attention_block
+
+    c = x.shape[-1]
+    lns, lnb = _LNParams(c, name=ln_name, parent=parent)()
+    (qkv_k, qkv_b), (proj_k, proj_b) = _AttnParams(
+        c, name=attn_name, parent=parent
+    )()
+    return fused_attention_block(
+        x, lns, lnb, qkv_k, qkv_b, proj_k, proj_b, num_heads, eps=ln_eps
+    )
+
+
 class Block(nn.Module):
-    """Pre-norm transformer encoder block (timm 0.4 Block semantics)."""
+    """Pre-norm transformer encoder block (timm 0.4 Block semantics).
+
+    In the bf16 fast mode (``use_pallas``), the whole attention branch
+    (LN1 + qkv + MHA + proj + residual) runs as ONE Pallas kernel — no
+    intermediate ever touches HBM (ops/pallas_block.py). The param tree
+    is identical to the module path, so checkpoints are shared."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -152,6 +245,21 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
+        if self.use_pallas and jnp.dtype(self.dtype) == jnp.bfloat16:
+            # Attention branch only: fusing the MLP branch the same way
+            # was measured SLOWER (0.889 -> 0.950 ms/branch at the
+            # encoder bench shape, scripts/ab_fused_block.py) — XLA's
+            # one big [B*N, C] matmul beats the per-sample grid. The
+            # fused_mlp_block kernel is kept as the measured record.
+            x = fused_attn_branch(
+                x.astype(jnp.bfloat16), "norm1", "attn", self,
+                self.num_heads, self.ln_eps,
+            )
+            x = x + Mlp(
+                int(c * self.mlp_ratio), c, dtype=self.dtype,
+                approx_gelu=self.approx_gelu, name="mlp",
+            )(LayerNorm(self.ln_eps, self.dtype, name="norm2")(x))
+            return x
         x = x + SelfAttention(
             self.num_heads, dtype=self.dtype, use_pallas=self.use_pallas,
             name="attn",

@@ -33,6 +33,9 @@ from countr_tpu.ops.attention import multi_head_attention
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
     bb = q_ref.shape[0]
     hd = q_ref.shape[-1] // num_heads
+    # softmax in base 2: exp(s*l) == exp2(s*log2(e)*l), so log2(e) folds
+    # into the static scale and the VPU skips one multiply per logit.
+    scale2 = scale * 1.4426950408889634
     for bi in range(bb):  # static unroll over the block's batch elems
         for h in range(num_heads):  # static unroll; hd-aligned lane slices
             sl = slice(h * hd, (h + 1) * hd)
@@ -42,9 +45,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, scale: float):
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
-            logits = logits * scale
+            logits = logits * scale2
             m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
+            p = jnp.exp2(logits - m)
             s = jnp.sum(p, axis=-1, keepdims=True)
             # Normalize AFTER the PV dot: dividing the [N, hd] output is
             # hd/N times the work of dividing the [N, N] probabilities.

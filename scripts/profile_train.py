@@ -234,10 +234,51 @@ def main():
     seg("forward+backward (value_and_grad)", f_vag, state.params, imgs0,
         boxes0, gt0)
 
+    # vag + optimizer, scan with carry = state: every updated param
+    # feeds the next iteration, so nothing in the AdamW update can be
+    # DCE'd (the hazard that invalidates a standalone optimizer
+    # microbench). Subtracting the vag segment isolates the optimizer +
+    # donation cost; subtracting THIS from the full step isolates the
+    # in-step data work (materialize+photo+density+metrics glue).
+    iters_full = max(iters // 2, 5)
+
+    def vag_opt_chain(state, imgs, boxes, gt):
+        def body(st, i):
+            def loss_fn(params):
+                out = model.apply(
+                    {"params": params},
+                    imgs + jnp.float32(st.step) * 0.0, boxes, 3,
+                )
+                return jnp.sum(jnp.square(out - gt)) / (384 * 384) / b
+
+            l, g = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_gradients(g), l
+
+        st, losses = lax.scan(body, state, jnp.arange(iters_full))
+        return losses[-1][None]
+
+    run_vo = jax.jit(vag_opt_chain)
+    saved_iters0 = iters
+    iters = iters_full
+    dt_vo = timed(run_vo, state, imgs0, boxes0, gt0)
+    iters = saved_iters0
+    results["fwd+bwd+optimizer (state-carry scan)"] = dt_vo
+    print(f"{'fwd+bwd+optimizer (state-carry scan)':<44s} "
+          f"{dt_vo * 1e3:8.2f} ms/iter", flush=True)
+
+    # amortization probe: does materializing 4 steps' worth of samples
+    # in one call beat 4 calls? (probe_gather says the taps are
+    # per-element-bound, so this measures the per-call fixed overhead.)
+    b4 = 4 * b
+    samples4 = [ds[i] for i in range(b4)]
+    batch4 = {k: jax.device_put(np.stack([s[k] for s in samples4]))
+              for k in keys}
+    dt4 = seg("materialize 4x batch (amortization probe)",
+              f_materialize, sa, batch4)
+    print(f"  -> per-b{b}-equivalent: {dt4 / 4 * 1e3:8.2f} ms", flush=True)
+
     # full resident step: carry IS the state (params change every iter)
     step_fn = make_store_finetune_step(model, tcfg)
-
-    iters_full = max(iters // 2, 5)
 
     def full_chain(state, sa, batch):
         def body(st, i):
@@ -293,13 +334,18 @@ def main():
     print("---", flush=True)
     full = results["FULL resident step (mat+aug+fwd+bwd+opt)"]
     vag = results["forward+backward (value_and_grad)"]
+    vo = results["fwd+bwd+optimizer (state-carry scan)"]
     mat = results["materialize_batch (affine+mosaic+boxes)"]
     pho = results["photometric chain (all B)"]
     den = results["density_from_dots (all B)"]
-    print(f"fwd+bwd {vag / full * 100:.0f}%  materialize {mat / full * 100:.0f}%  "
-          f"photometric {pho / full * 100:.0f}%  density {den / full * 100:.0f}%  "
-          f"residual(opt+glue) "
-          f"{(full - vag - mat - pho - den) / full * 100:.0f}%", flush=True)
+    print("ledger (ms): "
+          f"fwd+bwd {vag * 1e3:.1f} + optimizer {(vo - vag) * 1e3:.1f} + "
+          f"materialize {mat * 1e3:.1f} + photometric {pho * 1e3:.1f} + "
+          f"density {den * 1e3:.1f} + glue "
+          f"{(full - vo - mat - pho - den) * 1e3:.1f} "
+          f"= {full * 1e3:.1f} total "
+          f"(sum covers {(vo + mat + pho + den) / full * 100:.0f}% "
+          f"before glue)", flush=True)
     print(f"step images/sec at batch {b}: {b / full:.1f} "
           f"(bucketed: {b / dt_b:.1f})", flush=True)
 
