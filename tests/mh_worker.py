@@ -37,6 +37,12 @@ jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent compile cache: these two workers dominate the suite's wall
+# time (~16 of 37 cold minutes) and their compiles repeat run-to-run.
+from countr_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def main():
     p = argparse.ArgumentParser()
