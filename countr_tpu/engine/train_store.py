@@ -172,10 +172,16 @@ def _unpack_rgb(v):
 
 
 def _gather_px(pixels, flat_idx, ok):
-    """[...,] int32 pool indices -> float pixels in [0,1]; ok=0 taps
-    read index 0 but contribute 0 (cv2 BORDER_CONSTANT)."""
+    """[...,] int32 pool indices -> float pixels in [0, 255]; ok=0 taps
+    read index 0 but contribute 0 (cv2 BORDER_CONSTANT). The /255
+    normalization is applied ONCE by the caller on the blended output:
+    any extra elementwise op in the per-tap chain after the random
+    gather — even a scalar multiply — breaks the backend's gather
+    fusion and costs ~65 ms/batch-8 (scripts/probe_affine_seg.py:
+    per-tap /255 or *(1/255) 99.9 ms vs mask-only 34.0 ms; end-scale
+    34.0 ms)."""
     v = _unpack_rgb(jnp.take(pixels, jnp.where(ok, flat_idx, 0), axis=0))
-    return v / 255.0 * ok[..., None].astype(jnp.float32)
+    return v * ok[..., None].astype(jnp.float32)
 
 
 def _bilinear_flat(pixels, base, stride, h, w, sx, sy):
@@ -199,7 +205,9 @@ def _bilinear_flat(pixels, base, stride, h, w, sx, sy):
     p11 = tap(y0 + 1, x0 + 1)
     top = p00 * (1 - fx) + p01 * fx
     bot = p10 * (1 - fx) + p11 * fx
-    return top * (1 - fy) + bot * fy
+    # single end-scale (see _gather_px): bilinear blend is linear, so
+    # scaling the output equals scaling the taps up to float ulps
+    return (top * (1 - fy) + bot * fy) / 255.0
 
 
 def _affine_sample(pixels, base, stride, h, w, C, d):
@@ -305,14 +313,16 @@ def _mosaic_sample(pixels, bases, strides, tops, lefts, lengths, bl):
             start = bases[i] + (tops[i] + j) * strides[i] + lefts[i]
             return jax.lax.dynamic_slice_in_dim(pixels, start, IMG_SIZE, axis=0)
 
-        slab = _unpack_rgb(jax.vmap(row_slice)(row_ids)) / 255.0
+        slab = _unpack_rgb(jax.vmap(row_slice)(row_ids))
         Wy = _band_matrix(y0, y1, fy, wy, IMG_SIZE)  # [out_r, slab_row]
         Wx = _band_matrix(x0, x1, fx, wx, IMG_SIZE)  # [out_c, slab_col]
         prec = jax.lax.Precision.HIGHEST  # exact 2-tap sums (tiny GEMMs)
         cell = jnp.einsum("ra,abk->rbk", Wy, slab, precision=prec)
         cell = jnp.einsum("rbk,cb->rck", cell, Wx, precision=prec)
         out = out + cell
-    return jnp.clip(out, 0.0, 1.0)
+    # single end-scale: the band contractions and the 4-cell sum are
+    # linear, so /255 commutes to the output (see _gather_px)
+    return jnp.clip(out / 255.0, 0.0, 1.0)
 
 
 def mosaic_bucket(k: int, batch_size: int) -> int:
