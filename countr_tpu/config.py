@@ -95,6 +95,12 @@ class CounTRConfig:
     # (reference: models_mae_cross.py:204-205), freezing it during
     # fine-tuning; stop_gradient reproduces that.
     freeze_encoder: bool = True
+    # Density-head conv width. The reference hard-codes 256 channels
+    # (reference: models_mae_cross.py:80-100, GroupNorm(8, 256)) and
+    # every full-size preset keeps that; configurable (multiple of the
+    # 8 GN groups) so tiny TEST configs can shrink the head's 384^2
+    # convs, which otherwise dominate CPU-suite wall time.
+    head_width: int = 256
 
     @property
     def grid_size(self) -> int:

@@ -187,6 +187,9 @@ class DensityHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision_high: bool = False
     subpixel: bool = False
+    # Conv width; the reference hard-codes 256 (see CounTRConfig
+    # .head_width). Must be a multiple of the 8 GroupNorm groups.
+    width: int = 256
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -198,13 +201,13 @@ class DensityHead(nn.Module):
 
         def stage(x, idx):
             x = nn.Conv(
-                256, (3, 3), padding="SAME", dtype=self.dtype,
+                self.width, (3, 3), padding="SAME", dtype=self.dtype,
                 param_dtype=jnp.float32, precision=prec,
                 kernel_init=torch_conv_kernel,
                 bias_init=conv_bias_init(9 * x.shape[-1]), name=f"conv{idx}",
             )(x)
-            gn_scale = self.param(f"gn{idx}_scale", nn.initializers.ones, (256,), jnp.float32)
-            gn_bias = self.param(f"gn{idx}_bias", nn.initializers.zeros, (256,), jnp.float32)
+            gn_scale = self.param(f"gn{idx}_scale", nn.initializers.ones, (self.width,), jnp.float32)
+            gn_bias = self.param(f"gn{idx}_bias", nn.initializers.zeros, (self.width,), jnp.float32)
             x = group_norm(x, gn_scale, gn_bias, num_groups=8)
             return nn.relu(x)
 
@@ -217,7 +220,8 @@ class DensityHead(nn.Module):
             x = stage(x, 3)
             x = nn.Conv(
                 1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
-                kernel_init=torch_conv_kernel, bias_init=conv_bias_init(256),
+                kernel_init=torch_conv_kernel,
+                bias_init=conv_bias_init(self.width),
                 precision=prec, name="pred",
             )(x)
             x = upsample2x_bilinear(x, precision=prec)
@@ -230,19 +234,22 @@ class DensityHead(nn.Module):
         # four thin strips through corrected-GN/ReLU/pred onto the
         # SMALL post-pred tensor (ops/subpixel.py for the full story).
         n, h, w, _ = x.shape
-        kernel, bias = _Conv3Params(name="conv3")(x.shape[-1])
-        pk, pb = _PredParams(name="pred")()
-        pk = pk[0, 0]  # [256, 1]
+        kernel, bias = _Conv3Params(name="conv3", features=self.width)(x.shape[-1])
+        pk, pb = _PredParams(name="pred")(self.width)
+        pk = pk[0, 0]  # [width, 1]
         xd = x.astype(self.dtype)
         ph = phase_conv2x_core(xd, kernel, bias, precision=prec)
         strips = ring_strips(xd, kernel, bias, precision=prec)
-        gn_scale = self.param("gn3_scale", nn.initializers.ones, (256,), jnp.float32)
-        gn_bias = self.param("gn3_bias", nn.initializers.zeros, (256,), jnp.float32)
-        mean, rstd = gn_phase_stats(ph, strips, num_groups=8, precision=prec)
-        yb = nn.relu(gn_phase_apply(ph, mean, rstd, gn_scale, gn_bias))
+        gn_scale = self.param("gn3_scale", nn.initializers.ones, (self.width,), jnp.float32)
+        gn_bias = self.param("gn3_bias", nn.initializers.zeros, (self.width,), jnp.float32)
+        mean, rstd = gn_phase_stats(ph, strips, num_groups=8,
+                                    c_real=self.width, precision=prec)
+        yb = nn.relu(gn_phase_apply(ph, mean, rstd, gn_scale, gn_bias,
+                                    c_real=self.width))
         z4 = pred_phase_flat(yb, pk.astype(self.dtype), pb, precision=prec)
         zs = [
-            (nn.relu(gn_phase_apply(s, mean, rstd, gn_scale, gn_bias))
+            (nn.relu(gn_phase_apply(s, mean, rstd, gn_scale, gn_bias,
+                                    c_real=self.width))
              @ pk.astype(self.dtype) + pb.astype(self.dtype))[..., 0]
             for s in strips
         ]
@@ -302,7 +309,8 @@ class CounTR(nn.Module):
         self.density_head = DensityHead(
             cfg.head_dtype or cfg.dtype,
             precision_high=cfg.head_precision_high,
-            subpixel=cfg.subpixel_head, name="density_head",
+            subpixel=cfg.subpixel_head, width=cfg.head_width,
+            name="density_head",
         )
         # Fixed (non-learned) sin-cos position embeddings
         # (reference: models_mae_cross.py:30,42,111-115).

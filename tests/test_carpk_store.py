@@ -97,7 +97,7 @@ def test_store_step_runs_and_learns_shapes(store_and_src):
     cfg = CounTRConfig(
         img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
         decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
-        freeze_encoder=False,
+        freeze_encoder=False, head_width=32,
     )
     model = CounTR(cfg)
     params = model.init(

@@ -14,6 +14,7 @@ from tests.test_data import fsc_dir, meta  # fixtures  # noqa: F401
 TINY384 = CounTRConfig(
     img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
     decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+    head_width=32,
 )
 
 

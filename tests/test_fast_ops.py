@@ -77,7 +77,8 @@ def test_cross_attention_smallk_matches_mha(rng, nk):
 def _tiny_cfg(**kw):
     return CounTRConfig(
         img_size=64, patch_size=16, embed_dim=48, depth=1, num_heads=4,
-        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=4, **kw
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=4,
+        head_width=32, **kw
     )
 
 

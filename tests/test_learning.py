@@ -19,6 +19,7 @@ from countr_tpu.models.mae import MaskedAutoencoderViT
 TINY = CounTRConfig(
     img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=4,
     decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4,
+    head_width=32,
 )
 
 

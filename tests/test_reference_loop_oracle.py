@@ -142,6 +142,7 @@ def make_engine(alpha: float) -> CountingEngine:
     cfg = CounTRConfig(
         img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
         decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        head_width=32,
     )
     model = CounTR(cfg)
     engine = CountingEngine(

@@ -19,6 +19,7 @@ from countr_tpu.models.countr import CounTR
 CFG = CounTRConfig(
     img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
     decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+    head_width=32,
 )
 
 

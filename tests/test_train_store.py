@@ -200,6 +200,7 @@ def test_store_step_end_to_end(store_fixture):
     cfg = CounTRConfig(
         img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
         decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        head_width=32,
     )
     model = CounTR(cfg)
     params = model.init(
@@ -259,6 +260,7 @@ def test_store_step_sharded_matches_unsharded(store_fixture):
     cfg = CounTRConfig(
         img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
         decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        head_width=32,
     )
     model = CounTR(cfg)
     tcfg = TrainConfig(batch_size=8, epochs=2, warmup_epochs=0, lr=1e-4)
