@@ -102,6 +102,13 @@ class CounTRConfig:
     # convs, which otherwise dominate CPU-suite wall time.
     head_width: int = 256
 
+    def __post_init__(self):
+        if self.head_width % 8 != 0:
+            raise ValueError(
+                f"head_width must be a multiple of the 8 GroupNorm groups "
+                f"(reference: models_mae_cross.py:80-100); got {self.head_width}"
+            )
+
     @property
     def grid_size(self) -> int:
         return self.img_size // self.patch_size

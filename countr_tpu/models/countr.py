@@ -79,12 +79,18 @@ class CrossAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        if self.use_pallas and jnp.dtype(self.dtype) == jnp.bfloat16:
+        # Fused path requires the stream ALREADY bf16: casting here would
+        # silently drop residual-stream precision for an fp32 input where
+        # the module path keeps the caller's dtype through the residual.
+        if (
+            self.use_pallas
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+            and x.dtype == jnp.bfloat16
+        ):
             from countr_tpu.models.vit import fused_attn_branch
 
             x = fused_attn_branch(
-                x.astype(jnp.bfloat16), "norm0", "selfattn", self,
-                self.num_heads, self.ln_eps,
+                x, "norm0", "selfattn", self, self.num_heads, self.ln_eps,
             )
         else:
             x = x + SelfAttention(

@@ -245,15 +245,22 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        if self.use_pallas and jnp.dtype(self.dtype) == jnp.bfloat16:
+        # x.dtype guard: the fused kernel runs at the stream dtype; an
+        # fp32 stream entering a bf16-configured block falls back to the
+        # module path (which keeps the caller's dtype through the
+        # residual) instead of silently casting the residual stream.
+        if (
+            self.use_pallas
+            and jnp.dtype(self.dtype) == jnp.bfloat16
+            and x.dtype == jnp.bfloat16
+        ):
             # Attention branch only: fusing the MLP branch the same way
             # was measured SLOWER (0.889 -> 0.950 ms/branch at the
             # encoder bench shape, scripts/ab_fused_block.py) — XLA's
             # one big [B*N, C] matmul beats the per-sample grid. The
             # fused_mlp_block kernel is kept as the measured record.
             x = fused_attn_branch(
-                x.astype(jnp.bfloat16), "norm1", "attn", self,
-                self.num_heads, self.ln_eps,
+                x, "norm1", "attn", self, self.num_heads, self.ln_eps,
             )
             x = x + Mlp(
                 int(c * self.mlp_ratio), c, dtype=self.dtype,

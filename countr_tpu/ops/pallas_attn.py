@@ -69,7 +69,7 @@ def _fused(q, k, v, num_heads: int, interpret: bool, block_b: int = 1):
     try:
         from jax.experimental.pallas import tpu as pltpu
 
-        mem = pltpu.ANY if interpret else pltpu.VMEM
+        mem = pl.ANY if interpret else pltpu.VMEM
         spec = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0), memory_space=mem)
         if not interpret:
             # The head-unrolled kernel's scoped stack slightly exceeds
@@ -153,7 +153,7 @@ def _fused_bwd(q, k, v, g, num_heads: int, interpret: bool, block_b: int = 1):
     try:
         from jax.experimental.pallas import tpu as pltpu
 
-        mem = pltpu.ANY if interpret else pltpu.VMEM
+        mem = pl.ANY if interpret else pltpu.VMEM
         spec = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0), memory_space=mem)
         if not interpret:
             kwargs["compiler_params"] = pltpu.CompilerParams(

@@ -102,7 +102,7 @@ def _fused_block(
     try:
         from jax.experimental.pallas import tpu as pltpu
 
-        mem = pltpu.ANY if interpret else pltpu.VMEM
+        mem = pl.ANY if interpret else pltpu.VMEM
         xspec = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0), memory_space=mem)
         vspec = lambda d: pl.BlockSpec(  # noqa: E731
             (d,), lambda i: (0,), memory_space=mem
@@ -254,7 +254,7 @@ def _fused_mlp(
     try:
         from jax.experimental.pallas import tpu as pltpu
 
-        mem = pltpu.ANY if interpret else pltpu.VMEM
+        mem = pl.ANY if interpret else pltpu.VMEM
         xspec = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0), memory_space=mem)
         vspec = lambda d: pl.BlockSpec(  # noqa: E731
             (d,), lambda i: (0,), memory_space=mem

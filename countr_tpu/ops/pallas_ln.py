@@ -52,7 +52,7 @@ def _fused_ln(x, scale, bias, eps: float, interpret: bool):
     try:
         from jax.experimental.pallas import tpu as pltpu
 
-        mem = pltpu.ANY if interpret else pltpu.VMEM
+        mem = pl.ANY if interpret else pltpu.VMEM
         xspec = pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=mem)
         pspec = pl.BlockSpec((c,), lambda i: (0,), memory_space=mem)
     except Exception:

@@ -107,3 +107,40 @@ def test_pth_load_from_url(rng, tmp_path):
     cached = _fetch_if_url(url)
     assert cached != path and _fetch_if_url(url) == cached  # cache hit
     assert _fetch_if_url(path) == path  # local passthrough
+
+
+def test_pth_load_over_http(rng, tmp_path):
+    """Fetch-and-cache over a REAL local HTTP server — the transport
+    the reference uses for released weights (util/misc.py:340-342,
+    torch.hub.load_state_dict_from_url)."""
+    import functools
+    import threading
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    from countr_tpu.engine.checkpoint import _fetch_if_url
+
+    sd = make_countr_state_dict(rng, embed_dim=64, depth=1, dec_dim=32, dec_depth=1)
+    params = convert_countr_state_dict(sd, depth=1, decoder_depth=1)
+    save_torch_checkpoint(
+        str(tmp_path / "http_export.pth"),
+        export_countr_state_dict(params, grid=4),
+    )
+    handler = functools.partial(
+        SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/http_export.pth"
+        loaded = load_torch_checkpoint(url)
+        assert "shot_token" in loaded
+        params2 = convert_countr_state_dict(loaded, depth=1, decoder_depth=1)
+        np.testing.assert_array_equal(
+            params["params"]["shot_token"], params2["params"]["shot_token"]
+        )
+        cached = _fetch_if_url(url)
+        assert _fetch_if_url(url) == cached  # second fetch is a cache hit
+    finally:
+        srv.shutdown()
+        srv.server_close()

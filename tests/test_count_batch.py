@@ -50,7 +50,7 @@ def test_count_batch_matches_single(rng, engine):
         )
 
 
-def test_count_batch_uint8_exact(rng, engine):
+def test_count_batch_uint8_matches_float(rng, engine):
     """uint8 rows + device /255 must equal the float path for
     8-bit-sourced pixels (the real test pipeline). The /255 lands in a
     DIFFERENT compiled program on the u8 path (fused into the model),
