@@ -8,9 +8,12 @@ Prints ONE JSON line:
 The workload replicates the reference benchmark's geometry
 (FSC_test_cross(few-shot).py): H=384, widths snapped to multiples of
 16 drawn from the FSC147 aspect distribution, 3 exemplar boxes, full
-sliding-window + overlap stitch + test-time normalization per image.
-FSC147 images/weights are not downloadable in this environment, so the
-pixel content is synthetic — throughput is content-independent.
+sliding-window + overlap stitch + test-time normalization per image,
+and ~10% of images carrying tiny (<10x10) exemplars so the 3x3
+grid-mode path (9x windows/image, reference :264-284) is exercised and
+priced. FSC147 images/weights are not downloadable in this
+environment, so the pixel content is synthetic — throughput is
+content-independent.
 
 vs_baseline: the reference publishes no throughput number
 (BASELINE.md); it runs >=ceil((w-384)/128)+1 serial fp32 torch
@@ -18,10 +21,17 @@ forwards per image on an RTX 3090. We use 2.0 images/sec as the
 baseline estimate (~0.5 s/image mean infer time for the 3090 pipeline)
 — the value the driver records is ours; vs_baseline is this ratio.
 
-The JSON also carries ``device_windows_per_sec`` as a first-class
-field: pure on-device window-forward throughput (chained jitted calls,
-one terminal fetch), separating chip capability from this machine's
-15-30 MB/s tunnel H2D link that bounds the end-to-end number.
+Two device-rate fields separate chip capability from this machine's
+15-30 MB/s tunnel H2D link that bounds the end-to-end number:
+
+- ``device_windows_per_sec``: bare forward_tokens rate (chained jitted
+  calls, one terminal fetch) — the model-kernel ceiling.
+- ``device_pipeline_windows_per_sec``: the FULL per-set device
+  pipeline at device speed — exemplar-CNN embed + window extraction
+  (plain AND grid-mode resampled) + batched forward + stitch
+  accumulation + integral-image finalize + TTN — built from the SAME
+  production plan (CountingEngine._plan_set) the e2e path dispatches.
+  The modeled PCIe-host e2e is based on THIS rate.
 """
 
 import json
@@ -32,6 +42,10 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 2.0
 N_IMAGES = 64
 BATCH_WINDOWS = 32
+GRID_EVERY = 10  # every 10th image gets tiny exemplars -> 3x3 grid mode
+
+PLAIN_RECTS = [(40, 40, 110, 120), (150, 60, 230, 140), (250, 200, 330, 300)]
+TINY_RECTS = [(12, 12, 17, 17), (60, 60, 65, 65), (100, 100, 105, 105)]
 
 
 def main():
@@ -68,9 +82,31 @@ def main():
         model, params, batch_windows=BATCH_WINDOWS, mesh=get_mesh()
     )
 
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    def dispatch_floor(iters: int) -> float:
+        """Per-call dispatch+fetch floor over the tunnel (~10-40 ms,
+        session-dependent), measured with an empty chain and subtracted
+        so device metrics reflect device time, not RTT."""
+        from jax import lax
+
+        def empty(x):
+            def body(c, _):
+                return c * jnp.float32(1.0000001), None
+
+            return lax.scan(body, x, None, length=iters)[0]
+
+        erun = jax.jit(empty)
+        x0 = jnp.float32(1.0)
+        float(erun(x0))
+        return min(timed(lambda: float(erun(x0))) for _ in range(4))
+
     def device_windows_per_sec(iters: int = 10) -> float:
-        """Pure on-device window-forward rate (no host/tunnel): iters
-        chained forwards in one jitted scan, one terminal scalar fetch."""
+        """Bare forward rate (no host/tunnel): iters chained forwards
+        in one jitted scan, one terminal scalar fetch."""
         from jax import lax
 
         from countr_tpu.models.countr import CounTR
@@ -88,36 +124,18 @@ def main():
 
             return lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
 
-        # Per-call dispatch+fetch floor over the tunnel (~10-40 ms,
-        # session-dependent) is measured with an empty chain and
-        # subtracted so the metric reflects device time, not RTT.
-        def empty(x):
-            def body(c, _):
-                return c * jnp.float32(1.0000001), None
-
-            return lax.scan(body, x, None, length=iters)[0]
-
-        def timed(fn):
-            t0 = time.perf_counter()
-            fn()
-            return time.perf_counter() - t0
-
-        erun = jax.jit(empty)
-        x0 = jnp.float32(1.0)
-        float(erun(x0))
-        floor = min(timed(lambda: float(erun(x0))) for _ in range(4))
-
+        floor = dispatch_floor(iters)
         run = jax.jit(looped)
         _ = float(run(imgs, params, y))  # compile + warmup
         best = min(timed(lambda: float(run(imgs, params, y))) for _ in range(3))
         return BATCH_WINDOWS * iters / max(best - floor, 1e-9)
 
-    note("measuring device-only window throughput...")
-    dev_wps = device_windows_per_sec()
-    note(f"device-only: {dev_wps:.0f} windows/s")
-
-    # FSC147-like width distribution (H=384, W multiple of 16); uint8
-    # pixels, matching the real test pipeline's PIL output.
+    # ------------------------------------------------------------------
+    # FSC147-like geometry (H=384, W multiple of 16); uint8 pixels,
+    # matching the real test pipeline's PIL output. Every GRID_EVERY-th
+    # image carries tiny exemplar rects -> 3x3 grid mode (9 crops, each
+    # sliding-window counted on device via resampled extraction).
+    # ------------------------------------------------------------------
     widths = [384, 448, 512, 512, 576, 640, 512, 688, 512, 464, 576, 512]
     images = [
         rng.integers(0, 256, (384, widths[i % len(widths)], 3), dtype=np.uint8)
@@ -125,15 +143,57 @@ def main():
     ]
     boxes = [rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32) for _ in images]
     rects = [
-        [(40, 40, 110, 120), (150, 60, 230, 140), (250, 200, 330, 300)]
-        for _ in images
+        list(TINY_RECTS) if (i % GRID_EVERY) == GRID_EVERY - 1 else list(PLAIN_RECTS)
+        for i in range(N_IMAGES)
     ]
+    n_grid = sum(1 for r in rects if r[0] == TINY_RECTS[0])
+
+    def device_pipeline_windows_per_sec(iters: int = 8):
+        """Full device pipeline at device speed: one jitted scan whose
+        every iteration embeds the set's exemplars (CNN), extracts every
+        window (plain slices + grid-mode 2-tap resample) from the
+        resident uint8 rows, runs the batched forwards, stitch-
+        accumulates with the production weight columns, finalizes
+        (count + integral-image TTN statistic) and applies TTN — the
+        same plan count_batch dispatches, minus the host/tunnel
+        (engine.device_pipeline.fused_set_program; its counts are
+        pinned equal to count_batch in tests/test_bench_pipeline.py).
+
+        Returns (windows_per_sec, images_per_sec, n_windows, n_imgs).
+        """
+        from countr_tpu.engine.device_pipeline import fused_set_program
+
+        # A production-shaped set: 7 plain + 1 grid image = 16 density
+        # rows (the images_bucket), exactly how count_batch packs them.
+        idxs = [0, 1, 2, 3, 4, 5, 6, GRID_EVERY - 1]
+        sp = engine._plan_set(idxs, images, boxes, rects, 3)
+        n = sp["plan"]["img_owner"].shape[0]
+        n_img = len(idxs)
+        args, _, make_loop = fused_set_program(model, sp, BATCH_WINDOWS, 3)
+        run = jax.jit(make_loop(iters))
+        floor = dispatch_floor(iters)
+        _ = float(run(params, *args))  # compile + warmup
+        best = min(timed(lambda: float(run(params, *args))) for _ in range(3))
+        dt = max(best - floor, 1e-9)
+        return n * iters / dt, n_img * iters / dt, n, n_img
+
+    note("measuring device-only window throughput...")
+    dev_wps = device_windows_per_sec()
+    note(f"device-only forward: {dev_wps:.0f} windows/s")
+
+    note("measuring full device-pipeline throughput (incl. grid mode)...")
+    pipe_wps, pipe_ips, pipe_nwin, pipe_nimg = device_pipeline_windows_per_sec()
+    note(
+        f"device pipeline: {pipe_wps:.0f} windows/s, {pipe_ips:.1f} img/s "
+        f"({pipe_nwin} windows / {pipe_nimg} imgs per set, 1 grid image)"
+    )
 
     # Warmup pass compiles every shape (pooled forward + exemplar CNN).
     note("compiling + warmup...")
     t_c = time.perf_counter()
     engine.count_batch(images, boxes, rects, shot_num=3, return_density=False)
-    note(f"warmup done in {time.perf_counter() - t_c:.1f}s; timing...")
+    warmup_s = time.perf_counter() - t_c
+    note(f"warmup done in {warmup_s:.1f}s; timing...")
 
     # Best of 5 timed passes: the tunneled-TPU link bandwidth is shared
     # and noisy; best-of reflects the pipeline's actual capability.
@@ -153,16 +213,19 @@ def main():
     # once per image per pass. On this machine the tunnel link
     # (15-30 MB/s) dominates end-to-end; model what the same pipeline
     # does behind a PCIe-class link (~10 GB/s) so the e2e number is
-    # interpretable beyond the tunnel: per image the device needs
-    # n_windows/n_images forwards at dev_wps, plus the PCIe transfer.
+    # interpretable beyond the tunnel. Per image the device runs the
+    # FULL pipeline (embed + extract + forward + stitch + finalize) at
+    # the measured pipeline rate, plus the PCIe transfer.
     h2d_per_img = engine.h2d_bytes / (5 * len(images))
-    dev_s_per_img = (n_windows / len(images)) / max(dev_wps, 1e-9)
+    # the timed pipeline set is denser in grid images (1/8) than the
+    # e2e geometry (1/10); scale per-image device time by window share
+    dev_s_per_img = (n_windows / len(images)) / max(pipe_wps, 1e-9)
     pcie_s_per_img = h2d_per_img / 10e9
     projected_pcie_ips = 1.0 / (dev_s_per_img + pcie_s_per_img)
     note(
         f"h2d {h2d_per_img / 1e3:.0f} KB/image; tunnel-link e2e "
         f"{ips:.1f} img/s; modeled PCIe-host e2e "
-        f"{projected_pcie_ips:.0f} img/s (device-bound)"
+        f"{projected_pcie_ips:.0f} img/s (device-bound, pipeline rate)"
     )
     out = {
         "metric": "FSC147-geometry few-shot sliding-window throughput",
@@ -170,15 +233,19 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),
         "device_windows_per_sec": round(dev_wps, 1),
+        "device_pipeline_windows_per_sec": round(pipe_wps, 1),
         "h2d_bytes_per_image": round(h2d_per_img),
         "detail": {
             "n_images": len(images),
+            "n_grid_images": n_grid,
             "n_windows": n_windows,
             "windows_per_sec": round(n_windows / dt, 1),
             "batch_windows": BATCH_WINDOWS,
             "dtype": "bfloat16",
             "model": "mae_vit_base6_patch16",
+            "warmup_s": round(warmup_s, 1),
             "pass_times_s": [round(t, 3) for t in times],
+            "device_pipeline_images_per_sec": round(pipe_ips, 1),
             "projected_pcie_host_images_per_sec": round(projected_pcie_ips, 1),
         },
     }

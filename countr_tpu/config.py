@@ -62,6 +62,13 @@ class CounTRConfig:
     # Use the fused Pallas attention kernel on TPU for encoder and
     # decoder self-attention (falls back to XLA attention elsewhere).
     use_pallas_attention: bool = False
+    # Consulted only when use_pallas_attention: run the whole attention
+    # residual branch (LN1+qkv+MHA+proj+residual) as ONE Pallas kernel
+    # (ops/pallas_block.py) instead of standalone Pallas LN + attention.
+    # Separate gate so training modes can opt out independently of
+    # inference if the fused custom VJP ever regresses a step
+    # (scripts/ab_train_fused.py is the measurement).
+    fused_attn_block: bool = True
     # tanh-approximate GELU instead of exact erf. The approximation
     # error (<3.2e-3 absolute) is below bf16 rounding (2^-8 relative),
     # and erf costs ~2 ms/layer more on v5e (scripts/profile_encoder.py)
@@ -140,6 +147,8 @@ class MAEConfig:
     mask_ratio: float = 0.5  # reference: FSC_pretrain.py:45
     dtype: jnp.dtype = jnp.float32
     use_pallas_attention: bool = False
+    # See CounTRConfig.fused_attn_block.
+    fused_attn_block: bool = True
     approx_gelu: bool = False
 
     @property

@@ -37,6 +37,32 @@ def width_bucket(w: int) -> int:
     return ((w + 511) // 512) * 512
 
 
+def chunk_plan(n: int, b: int, multiple: int = 1):
+    """(offset, batch_bucket) chunks covering n windows: full chunks of
+    b, then ONE graduated tail bucket from {4, 8, 16, 24, ...} — so a
+    33-window phase runs 32+4 forward slots instead of 32+32. Padding
+    waste was the pipeline's dominant cost on small sets (bench r4: a
+    16-row set with 33 windows ran at 350 w/s against a 706 w/s forward
+    ceiling purely from 31 padded slots). The tail bucket is rounded up
+    to ``multiple`` (the mesh size on sharded runs) and capped at b;
+    each distinct bucket is one extra compiled forward, amortized by the
+    persistent compile cache."""
+    out = []
+    i = 0
+    while i + b <= n:
+        out.append((i, b))
+        i += b
+    tail = n - i
+    if tail > 0:
+        for s in (4, 8, 16, 24):
+            if tail <= s and s <= b and s % max(multiple, 1) == 0:
+                out.append((i, s))
+                break
+        else:
+            out.append((i, b))
+    return out
+
+
 def extract_windows(images: jnp.ndarray, owners: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
     """[R, 384, Wb, C] (+ int8/float) -> [B, 384, 384, C] float windows.
 
@@ -144,6 +170,136 @@ def finalize(
     return counts, esum
 
 
+def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
+    """The ENTIRE per-set device pipeline as one program: exemplar-CNN
+    embed + window extraction (plain slices and grid-mode resampled) +
+    batched forwards + weighted stitch accumulation + integral-image
+    finalize + TTN — built from a production plan
+    (``CountingEngine._plan_set``), so it is op-for-op the work
+    ``count_batch`` dispatches per set, minus the per-chunk host round
+    trips.
+
+    Used by bench.py to measure the full pipeline at device speed with
+    the chained-scan methodology (the tunnel RTT makes per-dispatch
+    timing meaningless, CLAUDE.md), and by the tests to pin its counts
+    equal to ``count_batch``'s.
+
+    Returns ``(args, preds_fn, make_loop)``:
+      args: tuple of device arrays (params NOT included — never close
+        over params, they would ship as constants in the compile RPC)
+      preds_fn(params, *args) -> [n_img] predicted counts (jittable)
+      make_loop(iters) -> loop_fn(params, *args) chaining ``iters``
+        full-pipeline evaluations with a carry that perturbs the
+        resident pixels (data-dependent uint8 delta) and the exemplar
+        stack, so XLA cannot hoist any stage out of the scan.
+    """
+    import numpy as np
+
+    plan = sp["plan"]
+    n = plan["img_owner"].shape[0]
+    n_plain = plan["n_plain"]
+    b = batch_windows
+    idx_imgs = list(sp["img_rows"].keys())
+    n_img = len(sp["grid_flags"])
+    r_bucket = sp["r_bucket"]
+    wb = sp["stackr"].shape[2]
+
+    def pad_to(arr, m):
+        pad = m - arr.shape[0]
+        if pad <= 0:
+            return arr
+        return np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)], 0)
+
+    plain_chunks, rs_chunks = [], []
+    for off, bk in chunk_plan(n_plain, b):
+        i, j = off, min(off + bk, n_plain)
+        plain_chunks.append({
+            "owners": pad_to(plan["img_owner"][i:j], bk),
+            "starts": pad_to(plan["den_start"][i:j], bk),
+            "den_own": pad_to(plan["den_owner"][i:j], bk),
+            "wcols": pad_to(plan["wcol"][i:j], bk),
+        })
+    for off, bk in chunk_plan(n - n_plain, b):
+        i, j = n_plain + off, min(n_plain + off + bk, n)
+        r, s = i - n_plain, j - n_plain
+        rs_chunks.append({
+            "owners": pad_to(plan["img_owner"][i:j], bk),
+            "den_start": pad_to(plan["den_start"][i:j], bk),
+            "den_own": pad_to(plan["den_owner"][i:j], bk),
+            "wcols": pad_to(plan["wcol"][i:j], bk),
+            "maps": [
+                pad_to(plan[k][r:s], bk)
+                for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1")
+            ],
+        })
+
+    # density row -> position of its owner image in the set (padded
+    # rows -> dummy segment n_img); per-image LAST row for the TTN
+    # statistic (the reference normalizes by the last computed map,
+    # FSC_test_cross(few-shot).py:353-359).
+    pos_of = {im: p for p, im in enumerate(idx_imgs)}
+    row_owner = np.full(r_bucket, n_img, np.int32)
+    for ridx, im in enumerate(sp["den_owner_img"]):
+        row_owner[ridx] = pos_of[im]
+    last_row = np.zeros(max(n_img, 1), np.int32)
+    for im, rws in sp["img_rows"].items():
+        last_row[pos_of[im]] = rws[-1][0]
+
+    from countr_tpu.models.countr import CounTR
+
+    def preds_fn(p, images_u8, bstack, pchunks, rchunks, rarr, rvalid,
+                 row_owner, last_row):
+        y_all = model.apply(p, bstack, shot_num, method=CounTR.encode_exemplars)
+        density = jnp.zeros((r_bucket, WINDOW, wb), jnp.float32)
+        for ch in pchunks:
+            win = extract_windows(images_u8, ch["owners"], ch["starts"])
+            dens = model.apply(
+                p, win, jnp.take(y_all, ch["owners"], axis=0),
+                method=CounTR.forward_tokens,
+            )
+            density = accumulate(
+                density, dens, ch["den_own"], ch["starts"], ch["wcols"]
+            )
+        for ch in rchunks:
+            win = extract_windows_resampled(images_u8, ch["owners"], *ch["maps"])
+            dens = model.apply(
+                p, win, jnp.take(y_all, ch["owners"], axis=0),
+                method=CounTR.forward_tokens,
+            )
+            density = accumulate(
+                density, dens, ch["den_own"], ch["den_start"], ch["wcols"]
+            )
+        counts, esum = finalize(density, rarr, rvalid)
+        raw = jax.ops.segment_sum(counts, row_owner, num_segments=n_img + 1)[:n_img]
+        e = jnp.take(esum, last_row) / 3.0
+        return jnp.where(e > 1.8, raw / jnp.maximum(e, 1e-9), raw)
+
+    def make_loop(iters: int):
+        def loop(p, images_u8, bstack, pchunks, rchunks, rarr, rvalid,
+                 row_owner, last_row):
+            def body(c, _):
+                delta = (jnp.abs(c * 1e6) % 2.0).astype(jnp.uint8)
+                preds = preds_fn(
+                    p, images_u8 + delta,
+                    bstack + (c * 1e-12).astype(bstack.dtype),
+                    pchunks, rchunks, rarr, rvalid, row_owner, last_row,
+                )
+                return jnp.sum(preds) * jnp.float32(1e-9), None
+
+            return jax.lax.scan(body, jnp.float32(0.0), None, length=iters)[0]
+
+        return loop
+
+    args = (
+        jnp.asarray(sp["stackr"]), jnp.asarray(sp["bstack"]),
+        jax.tree.map(jnp.asarray, plain_chunks),
+        jax.tree.map(jnp.asarray, rs_chunks),
+        jnp.asarray(sp["rects_arr"]), jnp.asarray(sp["rects_valid"]),
+        jnp.asarray(row_owner), jnp.asarray(last_row),
+    )
+    return args, preds_fn, make_loop
+
+
 class DevicePipeline:
     """Jitted stages with shape-bucketed caching.
 
@@ -221,34 +377,36 @@ class DevicePipeline:
                 [arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)], 0
             )
 
+        mult = self.mesh.devices.size if sharded else 1
+
         def chunks(lo, hi):
-            for i in range(lo, hi, b):
-                yield i, min(i + b, hi)
+            for off, bk in chunk_plan(hi - lo, b, mult):
+                yield lo + off, min(lo + off + bk, hi), bk
 
         def put(arr):
             dev = jnp.asarray(arr)
             return jax.device_put(dev, self._bsh) if sharded else dev
 
         # plain segment: dynamic-slice extraction
-        for i, j in chunks(0, n_plain):
-            owners = put(pad_to(plan["img_owner"][i:j], b))
-            starts = put(pad_to(plan["den_start"][i:j], b))
-            den_own = put(pad_to(plan["den_owner"][i:j], b))
-            wcols = put(pad_to(plan["wcol"][i:j], b))
+        for i, j, bk in chunks(0, n_plain):
+            owners = put(pad_to(plan["img_owner"][i:j], bk))
+            starts = put(pad_to(plan["den_start"][i:j], bk))
+            den_own = put(pad_to(plan["den_owner"][i:j], bk))
+            wcols = put(pad_to(plan["wcol"][i:j], bk))
             windows = self._extract(images, owners, starts)
             dens = self._fwd(self.params, windows, y_all, owners)
             density = self._accumulate(density, dens, den_own, starts, wcols)
 
         # resampled segment: fused gather-lerp extraction (grid mode)
-        for i, j in chunks(n_plain, n):
+        for i, j, bk in chunks(n_plain, n):
             r = i - n_plain
             s = j - n_plain
-            owners = put(pad_to(plan["img_owner"][i:j], b))
-            den_start = put(pad_to(plan["den_start"][i:j], b))
-            den_own = put(pad_to(plan["den_owner"][i:j], b))
-            wcols = put(pad_to(plan["wcol"][i:j], b))
+            owners = put(pad_to(plan["img_owner"][i:j], bk))
+            den_start = put(pad_to(plan["den_start"][i:j], bk))
+            den_own = put(pad_to(plan["den_owner"][i:j], bk))
+            wcols = put(pad_to(plan["wcol"][i:j], bk))
             maps = [
-                put(pad_to(plan[k][r:s], b))
+                put(pad_to(plan[k][r:s], bk))
                 for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1")
             ]
             windows = self._extract_rs(images, owners, *maps)

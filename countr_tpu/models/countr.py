@@ -74,6 +74,7 @@ class CrossAttentionBlock(nn.Module):
     ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fused_block: bool = True
     approx_gelu: bool = False
 
     @nn.compact
@@ -84,6 +85,7 @@ class CrossAttentionBlock(nn.Module):
         # the module path keeps the caller's dtype through the residual.
         if (
             self.use_pallas
+            and self.fused_block
             and jnp.dtype(self.dtype) == jnp.bfloat16
             and x.dtype == jnp.bfloat16
         ):
@@ -283,7 +285,7 @@ class CounTR(nn.Module):
         self.blocks = [
             Block(
                 cfg.num_heads, cfg.mlp_ratio, cfg.ln_eps, enc_dt,
-                use_pallas=enc_pallas,
+                use_pallas=enc_pallas, fused_block=cfg.fused_attn_block,
                 approx_gelu=enc_gelu, name=f"blocks_{i}",
             )
             for i in range(cfg.depth)
@@ -306,7 +308,7 @@ class CounTR(nn.Module):
         self.decoder_blocks = [
             CrossAttentionBlock(
                 cfg.decoder_num_heads, cfg.mlp_ratio, cfg.ln_eps, dec_dt,
-                use_pallas=dec_pallas,
+                use_pallas=dec_pallas, fused_block=cfg.fused_attn_block,
                 approx_gelu=dec_gelu, name=f"decoder_blocks_{i}",
             )
             for i in range(cfg.decoder_depth)

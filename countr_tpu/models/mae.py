@@ -78,6 +78,7 @@ class MaskedAutoencoderViT(nn.Module):
             Block(
                 cfg.num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
                 use_pallas=cfg.use_pallas_attention,
+                fused_block=cfg.fused_attn_block,
                 approx_gelu=cfg.approx_gelu, name=f"blocks_{i}",
             )
             for i in range(cfg.depth)
@@ -98,6 +99,7 @@ class MaskedAutoencoderViT(nn.Module):
             Block(
                 cfg.decoder_num_heads, cfg.mlp_ratio, cfg.ln_eps, cfg.dtype,
                 use_pallas=cfg.use_pallas_attention,
+                fused_block=cfg.fused_attn_block,
                 approx_gelu=cfg.approx_gelu, name=f"decoder_blocks_{i}",
             )
             for i in range(cfg.decoder_depth)

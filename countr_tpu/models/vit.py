@@ -240,6 +240,7 @@ class Block(nn.Module):
     ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fused_block: bool = True
     approx_gelu: bool = False
 
     @nn.compact
@@ -251,6 +252,7 @@ class Block(nn.Module):
         # residual) instead of silently casting the residual stream.
         if (
             self.use_pallas
+            and self.fused_block
             and jnp.dtype(self.dtype) == jnp.bfloat16
             and x.dtype == jnp.bfloat16
         ):
