@@ -161,31 +161,45 @@ def main():
 
         Returns (windows_per_sec, images_per_sec, n_windows, n_imgs).
         """
-        from countr_tpu.engine.device_pipeline import fused_set_program
+        from countr_tpu.engine.device_pipeline import (
+            chunk_plan, fused_set_program,
+        )
 
-        # A production-shaped set: 7 plain + 1 grid image = 16 density
-        # rows (the images_bucket), exactly how count_batch packs them.
-        idxs = [0, 1, 2, 3, 4, 5, 6, GRID_EVERY - 1]
+        # THE production set: the first set count_batch itself would
+        # dispatch for this batch (same sort, same greedy row packing),
+        # so the measured composition — including its grid share and
+        # tail-bucket padding — is exactly what the e2e path runs.
+        idxs = engine.plan_batch_sets(images, rects)[0]
         sp = engine._plan_set(idxs, images, boxes, rects, 3)
         n = sp["plan"]["img_owner"].shape[0]
         n_img = len(idxs)
+        n_grid = sum(1 for i in idxs if rects[i][0] == TINY_RECTS[0])
+        n_plain = sp["plan"]["n_plain"]
+        slots = sum(
+            bk
+            for m in (n_plain, n - n_plain)
+            for _, bk in chunk_plan(m, BATCH_WINDOWS)
+        )
         args, _, make_loop = fused_set_program(model, sp, BATCH_WINDOWS, 3)
         run = jax.jit(make_loop(iters))
         floor = dispatch_floor(iters)
         _ = float(run(params, *args))  # compile + warmup
         best = min(timed(lambda: float(run(params, *args))) for _ in range(3))
         dt = max(best - floor, 1e-9)
-        return n * iters / dt, n_img * iters / dt, n, n_img
+        return n * iters / dt, n_img * iters / dt, n, n_img, n_grid, slots
 
     note("measuring device-only window throughput...")
     dev_wps = device_windows_per_sec()
     note(f"device-only forward: {dev_wps:.0f} windows/s")
 
     note("measuring full device-pipeline throughput (incl. grid mode)...")
-    pipe_wps, pipe_ips, pipe_nwin, pipe_nimg = device_pipeline_windows_per_sec()
+    (pipe_wps, pipe_ips, pipe_nwin, pipe_nimg, pipe_ngrid,
+     pipe_slots) = device_pipeline_windows_per_sec()
     note(
         f"device pipeline: {pipe_wps:.0f} windows/s, {pipe_ips:.1f} img/s "
-        f"({pipe_nwin} windows / {pipe_nimg} imgs per set, 1 grid image)"
+        f"({pipe_nwin} windows / {pipe_nimg} imgs per set, "
+        f"{pipe_ngrid} grid, {pipe_nwin}/{pipe_slots} forward slots = "
+        f"{pipe_nwin / pipe_slots:.0%} occupancy)"
     )
 
     # Warmup pass compiles every shape (pooled forward + exemplar CNN).
@@ -217,8 +231,8 @@ def main():
     # FULL pipeline (embed + extract + forward + stitch + finalize) at
     # the measured pipeline rate, plus the PCIe transfer.
     h2d_per_img = engine.h2d_bytes / (5 * len(images))
-    # the timed pipeline set is denser in grid images (1/8) than the
-    # e2e geometry (1/10); scale per-image device time by window share
+    # per-image device time = the e2e geometry's windows/image at the
+    # measured full-pipeline window rate (grid images included in both)
     dev_s_per_img = (n_windows / len(images)) / max(pipe_wps, 1e-9)
     pcie_s_per_img = h2d_per_img / 10e9
     projected_pcie_ips = 1.0 / (dev_s_per_img + pcie_s_per_img)

@@ -63,26 +63,29 @@ def chunk_plan(n: int, b: int, multiple: int = 1):
     return out
 
 
-def extract_windows(images: jnp.ndarray, owners: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
-    """[R, 384, Wb, C] (+ int8/float) -> [B, 384, 384, C] float windows.
+def extract_windows(images: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Flat pixel pool [384, Wt, C] (uint8 or float) -> [B, 384, 384, C]
+    float windows; ``starts`` are ABSOLUTE pool columns (image base +
+    window offset, precomputed on host). The pool concatenates every
+    image of a set along the width axis — no per-image row or width
+    padding ever crosses the link, only the set-total column bucket
+    (~2% vs the ~16% the old [U, 384, Wb] layout re-uploaded per image).
 
-    uint8 inputs are converted to float/255 AFTER the gather so the big
+    uint8 inputs are converted to float/255 AFTER the slice so the big
     array stays 1 byte/pixel in HBM."""
 
-    def get(o, s):
-        img = jax.lax.dynamic_index_in_dim(images, o, axis=0, keepdims=False)
-        return jax.lax.dynamic_slice_in_dim(img, s, WINDOW, axis=1)
+    def get(s):
+        return jax.lax.dynamic_slice_in_dim(images, s, WINDOW, axis=1)
 
-    win = jax.vmap(get)(owners, starts)
+    win = jax.vmap(get)(starts)
     if win.dtype == jnp.uint8:
         win = win.astype(jnp.float32) / 255.0
     return win.astype(jnp.float32)
 
 
 def extract_windows_resampled(
-    images: jnp.ndarray,  # [U, 384, Wb, C] uint8 or float
-    owners: jnp.ndarray,  # [B] int32 upload-row index
-    ix0: jnp.ndarray,  # [B, 384] int32 left column tap (absolute)
+    images: jnp.ndarray,  # [384, Wt, C] flat pool, uint8 or float
+    ix0: jnp.ndarray,  # [B, 384] int32 left column tap (absolute pool col)
     ix1: jnp.ndarray,  # [B, 384] int32 right column tap
     wx1: jnp.ndarray,  # [B, 384] f32 weight of the right tap
     iy0: jnp.ndarray,  # [B, 384] int32 top row tap
@@ -92,16 +95,16 @@ def extract_windows_resampled(
     """Window extraction fused with a bilinear resample: each output
     pixel is a separable 2-tap lerp over source pixels, with the tap
     indices/weights precomputed on host (cv2 INTER_LINEAR half-pixel
-    semantics). Grid-mode's 9 crop-resizes (reference:
-    FSC_test_cross(few-shot).py:274-288, transforms.Resize on tensors)
-    run on device straight from the ONE uint8 upload of the source
-    image — no host cv2 resize, no float32 H2D. A plain sliding window
-    is the identity map (ix0 == ix1 == start+arange, weights 0)."""
+    semantics; column taps are absolute pool columns). Grid-mode's 9
+    crop-resizes (reference: FSC_test_cross(few-shot).py:274-288,
+    transforms.Resize on tensors) run on device straight from the ONE
+    uint8 upload of the source image — no host cv2 resize, no float32
+    H2D. A plain sliding window is the identity map (ix0 == ix1 ==
+    base+start+arange, weights 0)."""
 
-    def get(o, cx0, cx1, cwx, ry0, ry1, rwy):
-        img = jax.lax.dynamic_index_in_dim(images, o, axis=0, keepdims=False)
-        c0 = jnp.take(img, cx0, axis=1)  # [384, 384, C]
-        c1 = jnp.take(img, cx1, axis=1)
+    def get(cx0, cx1, cwx, ry0, ry1, rwy):
+        c0 = jnp.take(images, cx0, axis=1)  # [384, 384, C]
+        c1 = jnp.take(images, cx1, axis=1)
         if c0.dtype == jnp.uint8:
             c0 = c0.astype(jnp.float32) / 255.0
             c1 = c1.astype(jnp.float32) / 255.0
@@ -110,7 +113,7 @@ def extract_windows_resampled(
         r1 = jnp.take(row, ry1, axis=0)
         return r0 + (r1 - r0) * rwy[:, None, None]
 
-    win = jax.vmap(get)(owners, ix0, ix1, wx1, iy0, iy1, wy1)
+    win = jax.vmap(get)(ix0, ix1, wx1, iy0, iy1, wy1)
     return win.astype(jnp.float32)
 
 
@@ -202,7 +205,7 @@ def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
     idx_imgs = list(sp["img_rows"].keys())
     n_img = len(sp["grid_flags"])
     r_bucket = sp["r_bucket"]
-    wb = sp["stackr"].shape[2]
+    wb = sp["den_width"]
 
     def pad_to(arr, m):
         pad = m - arr.shape[0]
@@ -216,6 +219,7 @@ def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
         plain_chunks.append({
             "owners": pad_to(plan["img_owner"][i:j], bk),
             "starts": pad_to(plan["den_start"][i:j], bk),
+            "abs": pad_to(plan["abs_start"][i:j], bk),
             "den_own": pad_to(plan["den_owner"][i:j], bk),
             "wcols": pad_to(plan["wcol"][i:j], bk),
         })
@@ -252,7 +256,7 @@ def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
         y_all = model.apply(p, bstack, shot_num, method=CounTR.encode_exemplars)
         density = jnp.zeros((r_bucket, WINDOW, wb), jnp.float32)
         for ch in pchunks:
-            win = extract_windows(images_u8, ch["owners"], ch["starts"])
+            win = extract_windows(images_u8, ch["abs"])
             dens = model.apply(
                 p, win, jnp.take(y_all, ch["owners"], axis=0),
                 method=CounTR.forward_tokens,
@@ -261,7 +265,7 @@ def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
                 density, dens, ch["den_own"], ch["starts"], ch["wcols"]
             )
         for ch in rchunks:
-            win = extract_windows_resampled(images_u8, ch["owners"], *ch["maps"])
+            win = extract_windows_resampled(images_u8, *ch["maps"])
             dens = model.apply(
                 p, win, jnp.take(y_all, ch["owners"], axis=0),
                 method=CounTR.forward_tokens,
@@ -334,29 +338,32 @@ class DevicePipeline:
 
     def run(
         self,
-        images_np: np.ndarray,  # [U, 384, Wb, 3] uint8 or float32 upload rows
-        y_all: jnp.ndarray,  # [U, ny, C] exemplar tokens per upload row
+        images_np: np.ndarray,  # [384, Wt, 3] flat pixel pool (uint8/f32)
+        y_all: jnp.ndarray,  # [U, ny, C] exemplar tokens per image
         plan: dict,  # window plan (see below)
         rects_np: np.ndarray,  # [R, K, 4] per DENSITY row
         rect_valid_np: np.ndarray,  # [R, K]
         n_den_rows: int,  # R: density rows (9 per grid image, 1 otherwise)
         batch_windows: int,
         want_density: bool,
+        den_width: int,  # Wb: density-map column bucket (max true width)
     ):
         """Returns (counts [R], esum [R], density [R,384,Wb] or None) as
         DEVICE arrays (callers fetch after dispatching further sets).
 
         ``plan`` arrays, one entry per window, PLAIN windows first:
-          img_owner [N] int32 — upload row the pixels come from
+          img_owner [N] int32 — image index (exemplar-token take)
           den_owner [N] int32 — density row the output blends into
           den_start [N] int32 — column offset in the density row
+          abs_start [n_plain] int32 — absolute pool column of the window
           wcol [N, 384] f32   — stitch weights (0 on padding)
           n_plain: int        — windows [0, n_plain) are plain slices;
                                 the rest carry resample maps
           ix0/ix1/wx1/iy0/iy1/wy1 [N - n_plain, 384] — 2-tap bilinear
-                                maps for grid-mode crop windows
+                                maps (absolute pool columns) for
+                                grid-mode crop windows
         """
-        u, h, wb, _ = images_np.shape
+        h, wb = WINDOW, den_width
         sharded = self.mesh is not None and batch_windows % self.mesh.devices.size == 0
         if sharded:
             images = jax.device_put(images_np, self._rsh)
@@ -391,9 +398,10 @@ class DevicePipeline:
         for i, j, bk in chunks(0, n_plain):
             owners = put(pad_to(plan["img_owner"][i:j], bk))
             starts = put(pad_to(plan["den_start"][i:j], bk))
+            abs_s = put(pad_to(plan["abs_start"][i:j], bk))
             den_own = put(pad_to(plan["den_owner"][i:j], bk))
             wcols = put(pad_to(plan["wcol"][i:j], bk))
-            windows = self._extract(images, owners, starts)
+            windows = self._extract(images, abs_s)
             dens = self._fwd(self.params, windows, y_all, owners)
             density = self._accumulate(density, dens, den_own, starts, wcols)
 
@@ -409,7 +417,7 @@ class DevicePipeline:
                 put(pad_to(plan[k][r:s], bk))
                 for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1")
             ]
-            windows = self._extract_rs(images, owners, *maps)
+            windows = self._extract_rs(images, *maps)
             dens = self._fwd(self.params, windows, y_all, owners)
             density = self._accumulate(density, dens, den_own, den_start, wcols)
 

@@ -90,7 +90,12 @@ class CountingEngine:
         params,
         *,
         batch_windows: int = 32,
-        images_bucket: int = 16,
+        # 48 density rows/set: padding-free middle chunks and ~98% forward
+        # -slot occupancy on FSC147-like batches (vs 83% at 16, measured
+        # in bench.py's geometry), at ~4% more upload bytes and 2-3 width
+        # buckets per batch (fewer compiled programs). Density scratch at
+        # the widest bucket is 48*384*768*4B = 54 MB — far from HBM.
+        images_bucket: int = 48,
         normalization: bool = True,
         max_s_cnt: int = 1,
         narrow_policy: str = "pad",
@@ -276,37 +281,39 @@ class CountingEngine:
                 f"engine expects H={WINDOW} rows; got {img.shape}"
             )
         results: List[Optional[CountResult]] = [None] * len(images)
-        # Sort by width so each set pads to a nearby bucket (low H2D
-        # waste) while staying full, then greedy-pack into sets bounded
-        # by the row bucket (a grid-mode image consumes 9 rows). Device
-        # work for every set is dispatched before any host readback, so
-        # uploads overlap compute.
+        # Device work for every set is dispatched before any host
+        # readback, so uploads overlap compute.
+        pending = [
+            self._dispatch_set(
+                set_idx, images, boxes_list, rects_list, shot_num,
+                return_density,
+            )
+            for set_idx in self.plan_batch_sets(images, rects_list)
+        ]
+        for handle in pending:
+            self._collect_set(handle, rects_list, return_density, results)
+        return results  # type: ignore[return-value]
+
+    def plan_batch_sets(self, images, rects_list) -> List[List[int]]:
+        """Pack a batch into device sets: sort by width so each set pads
+        to a nearby bucket (low H2D waste) while staying full, then
+        greedy-pack into sets bounded by the row bucket (a grid-mode
+        image consumes 9 density rows). Exposed so bench.py can time the
+        exact production set composition."""
         order = sorted(range(len(images)), key=lambda i: images[i].shape[1])
-        pending = []
+        sets: List[List[int]] = []
         set_idx: List[int] = []
         rows_used = 0
         for i in order:
             need = 9 if small_exemplar_count(rects_list[i]) >= self.max_s_cnt else 1
             if set_idx and rows_used + need > self.images_bucket:
-                pending.append(
-                    self._dispatch_set(
-                        set_idx, images, boxes_list, rects_list, shot_num,
-                        return_density,
-                    )
-                )
+                sets.append(set_idx)
                 set_idx, rows_used = [], 0
             set_idx.append(i)
             rows_used += need
         if set_idx:
-            pending.append(
-                self._dispatch_set(
-                    set_idx, images, boxes_list, rects_list, shot_num,
-                    return_density,
-                )
-            )
-        for handle in pending:
-            self._collect_set(handle, rects_list, return_density, results)
-        return results  # type: ignore[return-value]
+            sets.append(set_idx)
+        return sets
 
     def _row_bucket(self, n_rows: int) -> int:
         """Graduated row buckets: a partial set uploads (and
@@ -342,23 +349,34 @@ class CountingEngine:
         else:
             bstack = np.zeros((u_bucket, 1, 64, 64, 3), np.float32)
 
-        # One upload row per image — grid-mode crops are resized ON
-        # DEVICE from the source row, so uint8 uploads survive mixed
-        # sets (previously one grid image forced the whole set to f32
-        # and 9 full-size rows).
+        # ONE flat pixel pool per set: every image's pixels concatenated
+        # along the width axis, [384, Wt, 3] — windows slice absolute
+        # columns, so no per-image row- or width-bucket padding is ever
+        # uploaded (the old [U, 384, Wb] layout re-sent ~16% padding per
+        # image; the flat pool pads only the set total to a 2048-column
+        # bucket, ~2%). Grid-mode crops are resized ON DEVICE from the
+        # pool, so uint8 uploads survive mixed sets.
         use_u8 = all(images[i].dtype == np.uint8 for i in idxs)
         max_w = max(images[i].shape[1] for i in idxs)
         wb = width_bucket(max(max_w, WINDOW))
         dtype = np.uint8 if use_u8 else np.float32
-        stackr = np.zeros((u_bucket, WINDOW, wb, 3), dtype)
+        alloc = [max(images[i].shape[1], WINDOW) for i in idxs]
+        base = np.zeros(n_img, np.int64)
+        base[1:] = np.cumsum(alloc)[:-1]
+        wt = -(-int(sum(alloc)) // 2048) * 2048
+        stackr = np.zeros((WINDOW, wt, 3), dtype)
         for p, i in enumerate(idxs):
             img = images[i] if use_u8 else _as_float(images[i])
-            stackr[p, :, : img.shape[1]] = img
+            stackr[:, base[p] : base[p] + img.shape[1]] = img
 
         # Window plan: plain sliding windows first, then grid-mode
         # resampled windows (the device pipeline switches extraction
-        # kernels at the boundary).
-        plain = {"img_owner": [], "den_owner": [], "den_start": [], "wcol": []}
+        # kernels at the boundary). abs_start / ix taps are ABSOLUTE
+        # pool columns (image base + in-image offset).
+        plain = {
+            "img_owner": [], "den_owner": [], "den_start": [], "wcol": [],
+            "abs_start": [],
+        }
         rs = {
             "img_owner": [], "den_owner": [], "den_start": [], "wcol": [],
             "ix0": [], "ix1": [], "wx1": [], "iy0": [], "iy1": [], "wy1": [],
@@ -389,6 +407,7 @@ class CountingEngine:
                     plain["img_owner"].append(p)
                     plain["den_owner"].append(den_row)
                     plain["den_start"].append(s)
+                    plain["abs_start"].append(int(base[p]) + s)
                     plain["wcol"].append(wcol)
                 continue
             for (t, l, ch, cw) in grid_crop_boxes(WINDOW, true_w):
@@ -398,13 +417,16 @@ class CountingEngine:
                 den_owner_img.append(i)
                 iy0, iy1, wy1 = resample_maps(ch, WINDOW, t)
                 xi0, xi1, xw1 = resample_maps(cw, true_w, l)
+                xi0 = xi0 + int(base[p])
+                xi1 = xi1 + int(base[p])
                 if true_w < WINDOW:
-                    # pad the maps to the window width pointing at a
-                    # guaranteed-zero padded column (wb > true_w here),
+                    # pad the maps to the window width pointing at the
+                    # image's own zero-padded columns (alloc >= WINDOW,
+                    # so base+true_w..base+383 exist and hold zeros),
                     # matching the zero-padded narrow window of the
                     # host path.
                     pad = WINDOW - true_w
-                    zcol = np.full(pad, wb - 1, np.int32)
+                    zcol = np.full(pad, int(base[p]) + true_w, np.int32)
                     xi0 = np.concatenate([xi0, zcol])
                     xi1 = np.concatenate([xi1, zcol])
                     xw1 = np.concatenate([xw1, np.zeros(pad, np.float32)])
@@ -432,6 +454,9 @@ class CountingEngine:
             "den_start": np.asarray(
                 plain["den_start"] + rs["den_start"], np.int32
             ),
+            # absolute pool column per PLAIN window (rs windows carry
+            # absolute taps in ix0/ix1 instead)
+            "abs_start": np.asarray(plain["abs_start"], np.int32),
             "wcol": (
                 np.stack(plain["wcol"] + rs["wcol"])
                 if (plain["wcol"] or rs["wcol"])
@@ -468,6 +493,7 @@ class CountingEngine:
             "rects_valid": rects_valid,
             "u_bucket": u_bucket,
             "r_bucket": r_bucket,
+            "den_width": wb,
             "img_rows": img_rows,
             "grid_flags": grid_flags,
             "den_owner_img": den_owner_img,
@@ -499,6 +525,7 @@ class CountingEngine:
             sp["r_bucket"],
             self.batch_windows,
             want_density=return_density,
+            den_width=sp["den_width"],
         )
         win_per_row: dict = {}
         for o in plan["den_owner"]:

@@ -19,13 +19,13 @@ def test_width_bucket():
 
 
 def test_extract_windows_uint8(rng):
-    images = rng.integers(0, 256, (2, 384, 512, 3), dtype=np.uint8)
-    owners = jnp.asarray([0, 1, 1], jnp.int32)
-    starts = jnp.asarray([0, 128, 64], jnp.int32)
-    out = np.asarray(extract_windows(jnp.asarray(images), owners, starts))
+    # flat pool: two 512-wide images concatenated along the width axis
+    pool = rng.integers(0, 256, (384, 1024, 3), dtype=np.uint8)
+    starts = jnp.asarray([0, 512 + 128, 512 + 64], jnp.int32)
+    out = np.asarray(extract_windows(jnp.asarray(pool), starts))
     assert out.dtype == np.float32
-    np.testing.assert_allclose(out[0], images[0, :, 0:384] / 255.0, atol=1e-7)
-    np.testing.assert_allclose(out[2], images[1, :, 64:448] / 255.0, atol=1e-7)
+    np.testing.assert_allclose(out[0], pool[:, 0:384] / 255.0, atol=1e-7)
+    np.testing.assert_allclose(out[2], pool[:, 576:960] / 255.0, atol=1e-7)
 
 
 def test_accumulate_weighted_scatter(rng):
