@@ -255,6 +255,8 @@ def main():
             "n_windows": n_windows,
             "windows_per_sec": round(n_windows / dt, 1),
             "batch_windows": BATCH_WINDOWS,
+            "images_bucket": engine.images_bucket,
+            "forward_slot_occupancy": round(pipe_nwin / pipe_slots, 3),
             "dtype": "bfloat16",
             "model": "mae_vit_base6_patch16",
             "warmup_s": round(warmup_s, 1),

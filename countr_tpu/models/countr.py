@@ -99,6 +99,11 @@ class CrossAttentionBlock(nn.Module):
                 self.num_heads, dtype=self.dtype, use_pallas=self.use_pallas,
                 name="selfattn",
             )(LayerNorm(self.ln_eps, self.dtype, name="norm0")(x))
+        # Cross-attention stays the XLA module path: the fused Pallas cross
+        # branch (ops/pallas_block.py fused_cross_attention_block) measured
+        # 2x SLOWER here (0.176 -> 0.367 ms/branch at b32, -1.15 ms/forward,
+        # scripts/ab_cross_block.py) because the kv stream is tiny
+        # (ny<=8 exemplar tokens) and XLA already fuses the small einsums.
         x = x + CrossAttention(self.num_heads, dtype=self.dtype, name="attn")(
             LayerNorm(self.ln_eps, self.dtype, name="norm1")(x), y
         )

@@ -381,3 +381,197 @@ def fused_attention_block(
         x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj,
         num_heads, eps, interpret,
     )
+
+
+# ----------------------------------------------------------------------
+# Fused CROSS-attention residual branch (the interaction decoder's
+# second branch): x + proj(smallk_attn(q(LN(x)), k, v)) with k/v
+# precomputed from the (tiny) exemplar token stream. Unlike the
+# self-attention branch there is no [N, N] logits tensor at all —
+# logits are [N, ny<=8] — so the win is purely the four avoided HBM
+# round-trips (LN out, q, attention out, proj out) around small,
+# head-fragmented matmuls. reference: models_crossvit.py:96-128, the
+# decoder cross-attention the CrossAttention module mirrors.
+# ----------------------------------------------------------------------
+
+
+def _cross_block_kernel(
+    x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, k_ref, v_ref, wproj_ref,
+    bproj_ref, o_ref, *, num_heads: int, eps: float,
+):
+    bb = x_ref.shape[0]
+    c = x_ref.shape[-1]
+    hd = c // num_heads
+    scale = hd ** -0.5 * 1.4426950408889634  # base-2 softmax
+    f32 = jnp.float32
+    for bi in range(bb):
+        x = x_ref[bi]  # [N, C]
+        x32 = x.astype(f32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        xn32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        xn32 = xn32 * lns_ref[...].astype(f32) + lnb_ref[...].astype(f32)
+        xn = xn32.astype(x.dtype)
+        q = jax.lax.dot_general(
+            xn, wq_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(x.dtype) + bq_ref[...].astype(x.dtype)
+        kk = k_ref[bi]  # [ny, C]
+        vv = v_ref[bi]
+        heads = []
+        for h in range(num_heads):
+            qh = q[:, h * hd:(h + 1) * hd]
+            kh = kk[:, h * hd:(h + 1) * hd]
+            vh = vv[:, h * hd:(h + 1) * hd]
+            logits = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ) * scale  # [N, ny]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp2(logits - m)
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            heads.append((out / s).astype(x.dtype))
+        att = jnp.concatenate(heads, axis=-1)
+        y = jax.lax.dot_general(
+            att, wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(x.dtype) + bproj_ref[...].astype(x.dtype)
+        o_ref[bi] = x + y
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12))
+def _fused_cross(
+    x, lns, lnb, wq, bq, k, v, wproj, bproj,
+    num_heads: int, eps: float, interpret: bool, block_b: int = 1,
+):
+    b, n, c = x.shape
+    ny = k.shape[1]
+    cd = x.dtype
+    while b % block_b:
+        block_b //= 2
+    kwargs = {}
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        mem = pl.ANY if interpret else pltpu.VMEM
+        xspec = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0), memory_space=mem)
+        kvspec = pl.BlockSpec((block_b, ny, c), lambda i: (i, 0, 0), memory_space=mem)
+        vspec = lambda d: pl.BlockSpec(  # noqa: E731
+            (d,), lambda i: (0,), memory_space=mem
+        )
+        mspec = lambda r, co: pl.BlockSpec(  # noqa: E731
+            (r, co), lambda i: (0, 0), memory_space=mem
+        )
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            )
+    except Exception:
+        xspec = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0))
+        kvspec = pl.BlockSpec((block_b, ny, c), lambda i: (i, 0, 0))
+        vspec = lambda d: pl.BlockSpec((d,), lambda i: (0,))  # noqa: E731
+        mspec = lambda r, co: pl.BlockSpec((r, co), lambda i: (0, 0))  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_cross_block_kernel, num_heads=num_heads, eps=eps),
+        grid=(b // block_b,),
+        in_specs=[
+            xspec, vspec(c), vspec(c), mspec(c, c), vspec(c), kvspec, kvspec,
+            mspec(c, c), vspec(c),
+        ],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(x, lns.astype(jnp.float32), lnb.astype(jnp.float32),
+      wq.astype(cd), bq.astype(cd), k.astype(cd), v.astype(cd),
+      wproj.astype(cd), bproj.astype(cd))
+
+
+def _unfused_cross_reference(x, lns, lnb, wq, bq, k, v, wproj, bproj,
+                             num_heads, eps):
+    """XLA composition with op-for-op identical numerics (CPU fallback
+    and the backward's recompute spine)."""
+    from countr_tpu.ops.attention import cross_attention_smallk
+
+    cd = x.dtype
+    xn = xla_layer_norm(x, lns, lnb, eps=eps)
+    q = jnp.einsum("bnc,cd->bnd", xn, wq.astype(cd)) + bq.astype(cd)
+    att = cross_attention_smallk(q, k.astype(cd), v.astype(cd), num_heads)
+    y = jnp.einsum("bnc,cd->bnd", att, wproj.astype(cd)) + bproj.astype(cd)
+    return x + y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _fused_cross_diff(x, lns, lnb, wq, bq, k, v, wproj, bproj,
+                      num_heads, eps, interpret):
+    return _fused_cross(
+        x, lns, lnb, wq, bq, k, v, wproj, bproj, num_heads, eps, interpret
+    )
+
+
+def _fused_cross_fwd(x, lns, lnb, wq, bq, k, v, wproj, bproj, nh, eps,
+                     interp):
+    out = _fused_cross(x, lns, lnb, wq, bq, k, v, wproj, bproj, nh, eps,
+                       interp)
+    return out, (x, lns, lnb, wq, bq, k, v, wproj, bproj)
+
+
+def _fused_cross_bwd(num_heads, eps, interpret, res, g):
+    # No [N, N] tensor exists in this branch (logits are [N, ny<=8]), so
+    # jax.vjp over the XLA reference IS the backward — the fusion only
+    # changes forward scheduling.
+    _, vjp = jax.vjp(
+        lambda *a: _unfused_cross_reference(*a, num_heads, eps), *res
+    )
+    return vjp(g)
+
+
+_fused_cross_diff.defvjp(_fused_cross_fwd, _fused_cross_bwd)
+
+
+def fused_cross_attention_block(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w_q: jnp.ndarray,
+    b_q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    w_proj: jnp.ndarray,
+    b_proj: jnp.ndarray,
+    num_heads: int,
+    eps: float = 1e-6,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``x + proj(smallk_attn(q(LN(x)), k, v))`` for [B, N, C] queries
+    over precomputed [B, ny<=8, C] key/value streams — the interaction
+    decoder's cross-attention residual branch as ONE Pallas kernel on
+    TPU; the numerically-identical XLA composition elsewhere.
+
+    NOT wired into CrossAttentionBlock: on TPU v5e it measured 2x slower
+    than the XLA composition (0.176 -> 0.367 ms/branch at b32, decoder
+    geometry N=576/C=512/ny=4; scripts/ab_cross_block.py) — the kv
+    stream is too small for the fusion to beat XLA's own fusion of the
+    tiny einsums. Kept as a validated kernel (tests/test_pallas_block.py,
+    scripts/validate_fast_mode.py) and as the recorded negative result
+    (docs/PROFILE.md)."""
+    if interpret is None:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        interpret = False
+        if not on_tpu:
+            return _unfused_cross_reference(
+                x, ln_scale, ln_bias, w_q, b_q, k, v, w_proj, b_proj,
+                num_heads, eps,
+            )
+    if k.shape[1] > 8:  # kernel assumes a tiny kv stream
+        return _unfused_cross_reference(
+            x, ln_scale, ln_bias, w_q, b_q, k, v, w_proj, b_proj,
+            num_heads, eps,
+        )
+    return _fused_cross_diff(
+        x, ln_scale, ln_bias, w_q, b_q, k, v, w_proj, b_proj,
+        num_heads, eps, interpret,
+    )

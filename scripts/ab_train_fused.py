@@ -104,7 +104,7 @@ def main():
     tcfg = TrainConfig(batch_size=b, epochs=100, warmup_epochs=1)
     store = build_store(meta, meta.splits["train"], log=lambda *a: None)
     sa = store.arrays
-    ds = TrainDataset(meta, seed=0, store=store)
+    ds = TrainDataset(meta, do_aug=True, seed=0, store_index=store.index)
     keys_ft = list(ds[0].keys())
     samples = [ds[i % len(ds)] for i in range(b)]
     batch_ft = {
@@ -123,7 +123,9 @@ def main():
                 jax.random.key(0), jnp.zeros((1, 384, 384, 3)),
                 jnp.zeros((1, 3, 64, 64, 3)), 3,
             )
-            tx, _ = make_optimizer(tcfg, 100, b)
+            tx, _ = make_optimizer(
+                tcfg, 100, b, freeze_encoder=cfg.freeze_encoder
+            )
             state_ft = init_train_state(params["params"], tx)
         step_fn = make_store_finetune_step(model, tcfg)
 

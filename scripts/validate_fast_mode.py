@@ -2,27 +2,43 @@
 
 tests/test_pallas_block.py, test_pallas_attn.py and test_subpixel_head.py
 pin interpret-mode (CPU) numerics; this script asserts the REAL Mosaic
-lowering on the TPU: each fused kernel runs against its numerically-
-equivalent XLA composition on fixed inputs, and the process exits
-nonzero if any max delta exceeds its tolerance. Measured deltas are
-recorded in docs/PARITY.md ("fast-mode on-chip parity" table).
+lowering on the TPU, in two passes per kernel:
+
+  fp32 pass  — fp32 inputs through both lowerings. This CANNOT be an
+               exact-logic gate on the chip: Mosaic lowers an fp32
+               ``dot_general`` as a single bf16 MXU pass while the XLA
+               reference runs Precision.HIGHEST multi-pass
+               (ops/attention.py:18), so bf16 operand rounding is the
+               structural floor — measured 1.5e-3 normalized even with
+               the reference forced to matching DEFAULT precision
+               (scripts/probe_fp32_precision.py). Gate: 1e-2 forward /
+               2e-2 grads (~2-4x over measured); catches gross logic
+               bugs. EXACT fp32 logic parity is pinned by the
+               interpret-mode CPU tests (tests/test_pallas_block.py,
+               test_pallas_attn.py), and the production fp32 parity
+               mode never engages these kernels (config.use_pallas is
+               the bf16 fast mode's switch).
+  bf16 pass  — the production dtype. The two lowerings round at
+               different points (e.g. XLA casts softmax probabilities
+               to bf16 AFTER normalizing; the kernel divides AFTER the
+               PV dot), so 1-4 bf16 ulp (7.8e-3 each at magnitude 1)
+               of normalized deviation is expected and benign. Gate:
+               2e-2 forward / 5e-2 grads.
+
+Normalized max deviation = max|got-want| / max|want| — elementwise
+atol/rtol is the wrong shape for weight grads, whose elements cross
+zero while their magnitude spans decades.
+
+Checks: fused LN, attention fwd/bwd (encoder 12h/64d + decoder 16h/32d
+geometries), attention half-block fwd/bwd, cross-attention branch
+fwd/bwd, subpixel head, and the full fast forward_tokens vs the
+module-path bf16 forward (absolute count deltas reported).
+
+Exit nonzero past tolerance. Measured deviations land in docs/PARITY.md
+("fast-mode on-chip parity" table).
 
   python scripts/validate_fast_mode.py [--batch 8]
 
-Checks (bf16 activations, fp32 params — the production fast mode):
-  ln              fused_layer_norm              vs fp32-stats XLA LN
-  attn fwd / bwd  fused_attention (+custom VJP) vs XLA multi_head_attention
-  block fwd / bwd fused_attention_block (+VJP)  vs unfused XLA composition
-  subpixel head   DensityHead(subpixel=True)    vs reference formulation
-  model           full fast forward_tokens      vs module-path bf16 forward
-
-Both geometries that ship are exercised: encoder (576 tokens, C=768,
-12 heads) and decoder (C=512, 16 heads). The model-level check isolates
-the fused-block + subpixel deltas (the module path's LayerNorm still
-rides the Pallas LN kernel in bf16 — by design, models/vit.py:101).
-
-Tolerances are the interpret-mode test tolerances (bf16 rounding scale)
-— the Mosaic lowering must not be looser than interpret mode.
 reference numerics: models_crossvit.py:69-156, models_mae_cross.py:80-100.
 """
 
@@ -37,20 +53,21 @@ import numpy as np
 FAILURES = []
 
 
-def check(name: str, got, want, atol: float, rtol: float) -> None:
+def check(name: str, got, want, tol: float) -> float:
     a = np.asarray(got, np.float64)
     b = np.asarray(want, np.float64)
-    d = np.abs(a - b)
-    bound = atol + rtol * np.abs(b)
-    worst = float(np.max(d - bound))
-    ok = worst <= 0.0
+    d = float(np.max(np.abs(a - b)))
+    scale = max(float(np.max(np.abs(b))), 1e-30)
+    nd = d / scale
+    ok = nd <= tol
     print(
-        f"  {name:44s} max|d| {float(np.max(d)):.3e}  "
-        f"atol {atol:.0e} rtol {rtol:.0e}  {'OK' if ok else 'FAIL'}",
+        f"  {name:46s} max|d| {d:.3e}  norm {nd:.2e} "
+        f"(tol {tol:.0e})  {'OK' if ok else 'FAIL'}",
         flush=True,
     )
     if not ok:
         FAILURES.append(name)
+    return nd
 
 
 def main():
@@ -67,7 +84,8 @@ def main():
     from countr_tpu.ops.norms import layer_norm as xla_layer_norm
     from countr_tpu.ops.pallas_attn import fused_attention
     from countr_tpu.ops.pallas_block import (
-        _unfused_reference, fused_attention_block,
+        _unfused_cross_reference, _unfused_reference, fused_attention_block,
+        fused_cross_attention_block,
     )
     from countr_tpu.ops.pallas_ln import fused_layer_norm
     from countr_tpu.utils.cache import enable_compilation_cache
@@ -84,86 +102,136 @@ def main():
     b = args.batch
     rng = np.random.default_rng(0)
 
+    # (dtype tag, jnp dtype, fwd tol, grad tol)
+    PASSES = (
+        ("fp32", jnp.float32, 1e-2, 2e-2),
+        ("bf16", jnp.bfloat16, 2e-2, 5e-2),
+    )
+
     def arr(*shape, scale=1.0, dt=jnp.bfloat16):
         return jnp.asarray(rng.standard_normal(shape) * scale, dt)
 
-    # ---- LayerNorm ------------------------------------------------------
-    print("[ln]")
-    x = arr(b, 576, 768)
-    s = 1.0 + arr(768, scale=0.05, dt=jnp.float32)
-    bb = arr(768, scale=0.05, dt=jnp.float32)
-    got = jax.jit(fused_layer_norm)(x, s, bb)
-    want = jax.jit(xla_layer_norm)(x, s, bb)
-    check("fused_layer_norm [8,576,768]", got, want, 2e-2, 1e-2)
+    for tag, dt, ftol, gtol in PASSES:
+        print(f"\n==== {tag} pass ====", flush=True)
 
-    # ---- attention fwd + bwd at both shipped geometries ------------------
-    for (c, h, tag) in ((768, 12, "encoder 12h/64d"), (512, 16, "decoder 16h/32d")):
-        print(f"[attn {tag}]")
-        q, k, v = arr(b, 576, c), arr(b, 576, c), arr(b, 576, c)
-        got = jax.jit(fused_attention, static_argnums=3)(q, k, v, h)
-        want = jax.jit(multi_head_attention, static_argnums=3)(q, k, v, h)
-        check(f"fused_attention fwd C={c}", got, want, 2e-5, 1e-2)
+        # ---- LayerNorm ---------------------------------------------------
+        print("[ln]")
+        x = arr(b, 576, 768, dt=dt)
+        s = 1.0 + arr(768, scale=0.05, dt=jnp.float32)
+        bb = arr(768, scale=0.05, dt=jnp.float32)
+        got = jax.jit(fused_layer_norm)(x, s, bb)
+        want = jax.jit(xla_layer_norm)(x, s, bb)
+        check(f"fused_layer_norm [{b},576,768] {tag}", got, want, ftol)
 
-        g = arr(b, 576, c)
+        # ---- attention fwd + bwd at both shipped geometries ---------------
+        for (c, h, geom) in ((768, 12, "enc 12h/64d"), (512, 16, "dec 16h/32d")):
+            print(f"[attn {geom}]")
+            q, k, v = (arr(b, 576, c, dt=dt) for _ in range(3))
+            got = jax.jit(fused_attention, static_argnums=3)(q, k, v, h)
+            want = jax.jit(multi_head_attention, static_argnums=3)(q, k, v, h)
+            check(f"fused_attention fwd C={c} {tag}", got, want, ftol)
 
-        def loss_f(q, k, v):
-            return jnp.sum(fused_attention(q, k, v, h) * g.astype(jnp.float32))
+            g = arr(b, 576, c, dt=dt)
 
-        def loss_x(q, k, v):
-            return jnp.sum(
-                multi_head_attention(q, k, v, h) * g.astype(jnp.float32)
+            def loss_f(q, k, v):
+                return jnp.sum(
+                    fused_attention(q, k, v, h).astype(jnp.float32)
+                    * g.astype(jnp.float32)
+                )
+
+            def loss_x(q, k, v):
+                return jnp.sum(
+                    multi_head_attention(q, k, v, h).astype(jnp.float32)
+                    * g.astype(jnp.float32)
+                )
+
+            gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(q, k, v)
+            gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(q, k, v)
+            for name, a_, b_ in zip("qkv", gf, gx):
+                check(f"fused_attention d{name} C={c} {tag}", a_, b_, gtol)
+
+        # ---- fused attention half-block fwd + bwd --------------------------
+        for (c, h, geom) in ((768, 12, "encoder"), (512, 16, "decoder")):
+            print(f"[block {geom}]")
+            x = arr(b, 576, c, dt=dt)
+            r32 = lambda *sh: arr(*sh, scale=0.05, dt=jnp.float32)  # noqa: E731
+            wts = (1.0 + r32(c), r32(c), r32(c, 3 * c), r32(3 * c),
+                   r32(c, c), r32(c))
+            got = jax.jit(fused_attention_block, static_argnums=7)(x, *wts, h)
+            want = jax.jit(_unfused_reference, static_argnums=(7, 8))(
+                x, *wts, h, 1e-6
             )
+            check(f"fused_block fwd C={c} {tag}", got, want, ftol)
 
-        gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(q, k, v)
-        gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))(q, k, v)
-        for name, a_, b_ in zip("qkv", gf, gx):
-            check(f"fused_attention d{name} C={c}", a_, b_, 5e-4, 2e-2)
+            g = arr(b, 576, c, dt=dt)
 
-    # ---- fused attention half-block fwd + bwd ----------------------------
-    for (c, h, tag) in ((768, 12, "encoder"), (512, 16, "decoder")):
-        print(f"[block {tag}]")
-        x = arr(b, 576, c)
+            def loss_f(x, *w):
+                return jnp.sum(
+                    fused_attention_block(x, *w, h).astype(jnp.float32)
+                    * g.astype(jnp.float32)
+                )
+
+            def loss_x(x, *w):
+                return jnp.sum(
+                    _unfused_reference(x, *w, h, 1e-6).astype(jnp.float32)
+                    * g.astype(jnp.float32)
+                )
+
+            nargs = tuple(range(7))
+            gf = jax.jit(jax.grad(loss_f, argnums=nargs))(x, *wts)
+            gx = jax.jit(jax.grad(loss_x, argnums=nargs))(x, *wts)
+            names = ("dx", "dlns", "dlnb", "dwqkv", "dbqkv", "dwproj",
+                     "dbproj")
+            for name, a_, b_ in zip(names, gf, gx):
+                check(f"fused_block {name} C={c} {tag}", a_, b_, gtol)
+
+        # ---- fused cross-attention branch fwd + bwd (decoder geometry) ----
+        print("[cross block decoder]")
+        c, h, ny = 512, 16, 4
+        x = arr(b, 576, c, dt=dt)
+        kk, vv = arr(b, ny, c, dt=dt), arr(b, ny, c, dt=dt)
         r32 = lambda *sh: arr(*sh, scale=0.05, dt=jnp.float32)  # noqa: E731
-        lns, lnb = 1.0 + r32(c), r32(c)
-        wqkv, bqkv = r32(c, 3 * c), r32(3 * c)
-        wproj, bproj = r32(c, c), r32(c)
-        wts = (lns, lnb, wqkv, bqkv, wproj, bproj)
-        got = jax.jit(fused_attention_block, static_argnums=7)(x, *wts, h)
-        want = jax.jit(_unfused_reference, static_argnums=(7, 8))(
-            x, *wts, h, 1e-6
+        cwts = (1.0 + r32(c), r32(c), r32(c, c), r32(c), r32(c, c), r32(c))
+        lns, lnb, wq, bq, wp, bp = cwts
+        got = jax.jit(fused_cross_attention_block, static_argnums=9)(
+            x, lns, lnb, wq, bq, kk, vv, wp, bp, h
         )
-        check(f"fused_block fwd C={c}", got, want, 5e-2, 2e-2)
+        want = jax.jit(_unfused_cross_reference, static_argnums=(9, 10))(
+            x, lns, lnb, wq, bq, kk, vv, wp, bp, h, 1e-6
+        )
+        check(f"fused_cross fwd C={c} {tag}", got, want, ftol)
 
-        g = arr(b, 576, c)
+        g = arr(b, 576, c, dt=dt)
 
-        def loss_f(x, *w):
+        def closs_f(*a):
             return jnp.sum(
-                fused_attention_block(x, *w, h).astype(jnp.float32)
+                fused_cross_attention_block(*a, h).astype(jnp.float32)
                 * g.astype(jnp.float32)
             )
 
-        def loss_x(x, *w):
+        def closs_x(*a):
             return jnp.sum(
-                _unfused_reference(x, *w, h, 1e-6).astype(jnp.float32)
+                _unfused_cross_reference(*a, h, 1e-6).astype(jnp.float32)
                 * g.astype(jnp.float32)
             )
 
-        nargs = tuple(range(7))
-        gf = jax.jit(jax.grad(loss_f, argnums=nargs))(x, *wts)
-        gx = jax.jit(jax.grad(loss_x, argnums=nargs))(x, *wts)
-        names = ("dx", "dlns", "dlnb", "dwqkv", "dbqkv", "dwproj", "dbproj")
-        for name, a_, b_ in zip(names, gf, gx):
-            check(f"fused_block {name} C={c}", a_, b_, 2e-2, 5e-2)
+        cargs = (x, lns, lnb, wq, bq, kk, vv, wp, bp)
+        gf = jax.jit(jax.grad(closs_f, argnums=tuple(range(9))))(*cargs)
+        gx = jax.jit(jax.grad(closs_x, argnums=tuple(range(9))))(*cargs)
+        cnames = ("dx", "dlns", "dlnb", "dwq", "dbq", "dk", "dv", "dwp",
+                  "dbp")
+        for name, a_, b_ in zip(cnames, gf, gx):
+            check(f"fused_cross {name} C={c} {tag}", a_, b_, gtol)
 
-    # ---- subpixel head vs reference formulation --------------------------
-    print("[subpixel head]")
+    # ---- subpixel head vs reference formulation (bf16 production) --------
+    print("\n[subpixel head]")
     tok = arr(b, 24, 24, 512, scale=0.5)
     head_ref = DensityHead(dtype=jnp.bfloat16, subpixel=False)
     head_fus = DensityHead(dtype=jnp.bfloat16, subpixel=True)
     hp = head_ref.init(jax.random.key(1), tok)
     got = jax.jit(head_fus.apply)(hp, tok)
     want = jax.jit(head_ref.apply)(hp, tok)
-    check("DensityHead subpixel [8,24,24,512]", got, want, 5e-2, 5e-2)
+    check("DensityHead subpixel bf16", got, want, 5e-2)
 
     # ---- full fast-mode model vs module-path bf16 -------------------------
     print("[model]")
@@ -190,13 +258,16 @@ def main():
 
     dg = np.asarray(fwd(fast)(params, imgs, boxes), np.float64)
     dw = np.asarray(fwd(slow)(params, imgs, boxes), np.float64)
-    check("forward_tokens density map", dg, dw, 8e-2, 5e-2)
+    check("forward_tokens density map bf16", dg, dw, 5e-2)
     cg, cw = dg.sum(axis=(1, 2)) / 60.0, dw.sum(axis=(1, 2)) / 60.0
+    rel = np.max(np.abs(cg - cw) / np.maximum(np.abs(cw), 1.0))
     print(
-        f"  per-image count deltas: max {np.max(np.abs(cg - cw)):.4f} "
-        f"(counts ~{np.mean(np.abs(cw)):.1f})"
+        f"  per-image count deltas: max abs {np.max(np.abs(cg - cw)):.4f} "
+        f"on counts ~{np.mean(np.abs(cw)):.1f} (max rel {rel:.2e})"
     )
-    check("predicted counts", cg, cw, 5e-2, 2e-2)
+    if rel > 2e-2:
+        FAILURES.append("predicted counts rel > 2e-2")
+        print("  predicted counts FAIL")
 
     print(
         f"\n{'FAIL: ' + ', '.join(FAILURES) if FAILURES else 'ALL OK'}",

@@ -183,3 +183,82 @@ def test_fused_block_bf16_interpret_matches_composition(rng):
         np.float32,
     )
     np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+def _cross_params(rng, c):
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.05, jnp.float32)
+    return (1.0 + r(c), r(c), r(c, c), r(c), r(c, c), r(c))
+
+
+@pytest.mark.parametrize("b,n,c,h,ny", [(2, 128, 64, 4, 3), (1, 192, 512, 16, 4)])
+def test_fused_cross_matches_composition(rng, b, n, c, h, ny):
+    from countr_tpu.ops.pallas_block import (
+        _unfused_cross_reference, fused_cross_attention_block,
+    )
+
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, ny, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, ny, c)), jnp.float32)
+    lns, lnb, wq, bq, wp, bp = _cross_params(rng, c)
+    want = np.asarray(
+        _unfused_cross_reference(x, lns, lnb, wq, bq, k, v, wp, bp, h, 1e-6)
+    )
+    got = np.asarray(
+        fused_cross_attention_block(
+            x, lns, lnb, wq, bq, k, v, wp, bp, h, eps=1e-6, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_fused_cross_grads_match(rng):
+    from countr_tpu.ops.pallas_block import (
+        _unfused_cross_reference, fused_cross_attention_block,
+    )
+
+    b, n, c, h, ny = 2, 64, 64, 4, 3
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, ny, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, ny, c)), jnp.float32)
+    lns, lnb, wq, bq, wp, bp = _cross_params(rng, c)
+    w = jnp.asarray(rng.standard_normal((b, n, c)), jnp.float32)
+    args = (x, lns, lnb, wq, bq, k, v, wp, bp)
+    names = ("x", "lns", "lnb", "wq", "bq", "k", "v", "wproj", "bproj")
+    want = jax.grad(
+        lambda *a: jnp.sum(_unfused_cross_reference(*a, h, 1e-6) * w),
+        argnums=tuple(range(9)),
+    )(*args)
+    got = jax.grad(
+        lambda *a: jnp.sum(
+            fused_cross_attention_block(*a, h, eps=1e-6, interpret=True) * w
+        ),
+        argnums=tuple(range(9)),
+    )(*args)
+    for g, wnt, name in zip(got, want, names):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), atol=1e-3, rtol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_fused_cross_bf16_interpret_matches_composition(rng):
+    from countr_tpu.ops.pallas_block import (
+        _unfused_cross_reference, fused_cross_attention_block,
+    )
+
+    b, n, c, h, ny = 2, 128, 64, 4, 3
+    x = jnp.asarray(rng.standard_normal((b, n, c)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, ny, c)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, ny, c)), jnp.bfloat16)
+    lns, lnb, wq, bq, wp, bp = _cross_params(rng, c)
+    want = np.asarray(
+        _unfused_cross_reference(x, lns, lnb, wq, bq, k, v, wp, bp, h, 1e-6),
+        np.float32,
+    )
+    got = np.asarray(
+        fused_cross_attention_block(
+            x, lns, lnb, wq, bq, k, v, wp, bp, h, eps=1e-6, interpret=True
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
