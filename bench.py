@@ -64,6 +64,29 @@ def main():
     def note(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
+    # Persistent-cache hit/miss counters: warmup on this machine is
+    # dominated by the axon backend's variable first-dispatch handshake
+    # (measured 6-342 s, scripts/probe_first_dispatch.py) plus ~2-8 s
+    # PER cached executable to ship its binary over the 15-30 MB/s
+    # tunnel (jit_fwd entries are 23 MB each) — counting hits vs misses
+    # makes warmup_s self-explaining in the recorded JSON.
+    import logging
+
+    cache_events = {"hits": 0, "misses": 0}
+
+    class _CacheCounter(logging.Handler):
+        def emit(self, record):
+            m = record.getMessage()
+            if "cache hit for" in m:
+                cache_events["hits"] += 1
+            elif "CACHE MISS for" in m:
+                cache_events["misses"] += 1
+
+    _clog = logging.getLogger("jax._src.compiler")
+    _clog.setLevel(logging.DEBUG)
+    _clog.addHandler(_CacheCounter())
+    _clog.propagate = False  # counters only; keep stderr readable
+
     rng = np.random.default_rng(0)
     model = build_countr(
         "mae_vit_base6_patch16", dtype=jnp.bfloat16, use_pallas_attention=True,
@@ -188,6 +211,14 @@ def main():
         dt = max(best - floor, 1e-9)
         return n * iters / dt, n_img * iters / dt, n, n_img, n_grid, slots
 
+    # Pay (and price) the backend's first-dispatch handshake before any
+    # timed phase; on the shared axon worker it varies 6-342 s and is
+    # independent of our programs (scripts/probe_first_dispatch.py).
+    t_h = time.perf_counter()
+    float(jnp.add(jnp.float32(1), jnp.float32(1)))
+    handshake_s = time.perf_counter() - t_h
+    note(f"backend first-dispatch handshake: {handshake_s:.1f}s")
+
     note("measuring device-only window throughput...")
     dev_wps = device_windows_per_sec()
     note(f"device-only forward: {dev_wps:.0f} windows/s")
@@ -207,7 +238,11 @@ def main():
     t_c = time.perf_counter()
     engine.count_batch(images, boxes, rects, shot_num=3, return_density=False)
     warmup_s = time.perf_counter() - t_c
-    note(f"warmup done in {warmup_s:.1f}s; timing...")
+    note(
+        f"warmup done in {warmup_s:.1f}s "
+        f"(persistent cache: {cache_events['hits']} hits, "
+        f"{cache_events['misses']} misses); timing..."
+    )
 
     # Best of 5 timed passes: the tunneled-TPU link bandwidth is shared
     # and noisy; best-of reflects the pipeline's actual capability.
@@ -260,6 +295,9 @@ def main():
             "dtype": "bfloat16",
             "model": "mae_vit_base6_patch16",
             "warmup_s": round(warmup_s, 1),
+            "backend_handshake_s": round(handshake_s, 1),
+            "compile_cache_hits": cache_events["hits"],
+            "compile_cache_misses": cache_events["misses"],
             "pass_times_s": [round(t, 3) for t in times],
             "device_pipeline_images_per_sec": round(pipe_ips, 1),
             "projected_pcie_host_images_per_sec": round(projected_pcie_ips, 1),
