@@ -101,13 +101,19 @@ def apply_runtime_flags(args) -> None:
         jax.config.update("jax_debug_nans", True)
 
 
-def build_counting_model(args) -> Tuple[object, dict]:
+def build_counting_model(args, training: bool = False) -> Tuple[object, dict]:
     """Build the counting model and load weights per --resume:
     - path ending in .pth: reference torch checkpoint via the converter
       (covers released FSC147 weights; reference loader equivalent:
       util/misc.py:363-376)
     - directory: orbax checkpoint saved by our trainer
     - empty: random init (useful for smoke tests only)
+
+    ``training=True`` (the finetune CLIs) keeps the standalone Pallas
+    LN + attention kernels instead of the fused half-block: the fused
+    kernel wins forward-only (+1.5 ms/fwd) but its custom VJP loses the
+    round trip in training (finetune b8 64.7 vs 63.8 ms/step, pretrain
+    b16 49.4 vs 44.0 — scripts/ab_train_fused.py, docs/PROFILE.md).
     """
     from countr_tpu.models import build_countr
     from countr_tpu.engine import checkpoint as ckpt
@@ -125,6 +131,7 @@ def build_counting_model(args) -> Tuple[object, dict]:
         # tanh GELU (2.1x the fp32-op throughput at batch 32 on v5e,
         # scripts/profile_forward.py); fp32 keeps the exact parity ops.
         use_pallas_attention=dtype == jnp.bfloat16,
+        fused_attn_block=not training,
         approx_gelu=dtype == jnp.bfloat16
         and not getattr(args, "exact_gelu", False),
         # Fused subpixel head (exact; ops/subpixel.py) in the bf16 fast

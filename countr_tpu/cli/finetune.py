@@ -120,7 +120,7 @@ def main(args):
     # :304-335)
     main_proc = is_main_process()
     meta = common.load_meta(args)
-    model, params = common.build_counting_model(args)
+    model, params = common.build_counting_model(args, training=True)
     outdir = common.ensure_outdir(args) if main_proc else (args.output_dir or "")
     tb = TBWriter(os.path.join(outdir, "tb") if (outdir and main_proc) else None)
     jsonl = JsonlLogger(outdir if main_proc else None)

@@ -80,7 +80,7 @@ def main(args):
     )
     from countr_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
 
-    model, params = common.build_counting_model(args)
+    model, params = common.build_counting_model(args, training=True)
     outdir = common.ensure_outdir(args)
     jsonl = JsonlLogger(outdir)
 

@@ -87,10 +87,13 @@ def build_mae_model(args):
         mask_ratio=args.mask_ratio,
         norm_pix_loss=args.norm_pix_loss,
         dtype=dtype,
-        # The pretrain hot loop gets the same bf16 fast mode as the
-        # counting CLIs (fused Pallas attention/LN, tanh GELU); the
-        # custom-VJP backward recomputes through the XLA ops.
+        # The pretrain hot loop gets the bf16 fast mode (standalone
+        # Pallas attention/LN kernels, tanh GELU). The fused half-block
+        # is OFF here: it wins forward-only, but its custom VJP costs
+        # +5.4 ms/step where the encoder trains (49.4 vs 44.0 ms at
+        # batch 16 — scripts/ab_train_fused.py, docs/PROFILE.md).
         use_pallas_attention=dtype == jnp.bfloat16,
+        fused_attn_block=False,
         approx_gelu=dtype == jnp.bfloat16
         and not getattr(args, "exact_gelu", False),
     )

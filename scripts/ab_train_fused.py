@@ -105,7 +105,13 @@ def main():
     store = build_store(meta, meta.splits["train"], log=lambda *a: None)
     sa = store.arrays
     ds = TrainDataset(meta, do_aug=True, seed=0, store_index=store.index)
-    keys_ft = list(ds[0].keys())
+    # the resident step consumes only the geometry-parameter keys
+    # (cli/finetune.py resident batch_keys) — samples also carry
+    # non-numeric bookkeeping ("name") that must not be device_put
+    keys_ft = (
+        "img_idx", "affine_C", "affine_d", "is_mosaic", "cell_idx",
+        "cell_top", "cell_left", "cell_len", "blend_l", "dots", "n_dots",
+    )
     samples = [ds[i % len(ds)] for i in range(b)]
     batch_ft = {
         k: jax.device_put(np.stack([s[k] for s in samples])) for k in keys_ft

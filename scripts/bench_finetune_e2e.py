@@ -85,7 +85,8 @@ def main():
 
     cfg = dataclasses.replace(
         COUNTR_PRESETS["mae_vit_base6_patch16"], dtype=jnp.bfloat16,
-        use_pallas_attention=True, approx_gelu=True, subpixel_head=True,
+        use_pallas_attention=True, fused_attn_block=False, approx_gelu=True,
+        subpixel_head=True,
     )
     model = CounTR(cfg)
     b = args.batch

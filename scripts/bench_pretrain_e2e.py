@@ -51,7 +51,7 @@ def main():
 
     cfg = dataclasses.replace(
         MAE_PRESETS["mae_vit_base_patch16"], dtype=jnp.bfloat16,
-        use_pallas_attention=True,
+        use_pallas_attention=True, fused_attn_block=False,
     )
     model = MaskedAutoencoderViT(cfg)
     b = args.batch

@@ -45,7 +45,7 @@ def main():
     if args.pretrain:
         cfg = dataclasses.replace(
             MAE_PRESETS["mae_vit_base_patch16"], dtype=jnp.bfloat16,
-            use_pallas_attention=True,
+            use_pallas_attention=True, fused_attn_block=False,
         )
         model = MaskedAutoencoderViT(cfg)
         imgs = jnp.asarray(rng.uniform(0, 1, (b, 384, 384, 3)), jnp.float32)
@@ -58,7 +58,7 @@ def main():
     else:
         cfg = dataclasses.replace(
             COUNTR_PRESETS["mae_vit_base6_patch16"], dtype=jnp.bfloat16,
-            use_pallas_attention=True, subpixel_head=True,
+            use_pallas_attention=True, fused_attn_block=False, subpixel_head=True,
         )
         model = CounTR(cfg)
         batch = {

@@ -173,3 +173,36 @@ def test_cli_demo_few_shot_boxes(fsc_dir, tmp_path):  # noqa: F811
     )
     cli_demo.main(args)
     assert len(os.listdir(tmp_path / "demo2")) == 1
+
+
+def test_fused_block_gated_per_mode(monkeypatch):
+    """Training builds must keep the standalone Pallas kernels
+    (fused_attn_block=False): the fused half-block's custom VJP loses
+    ~1-5 ms/step in training while winning forward-only
+    (scripts/ab_train_fused.py, docs/PROFILE.md). Inference builds keep
+    it on."""
+    import countr_tpu.models as models
+    from countr_tpu.cli import common
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_build(name, **kw):
+        captured.update(kw)
+        raise _Stop
+
+    monkeypatch.setattr(models, "build_countr", fake_build)
+
+    def build(training):
+        captured.clear()
+        args = argparse.Namespace(model="tiny384", resume="", dtype="bf16")
+        with pytest.raises(_Stop):
+            common.build_counting_model(args, training=training)
+        return dict(captured)
+
+    assert build(training=True)["fused_attn_block"] is False
+    assert build(training=False)["fused_attn_block"] is True
+    # both stay on the Pallas fast mode in bf16
+    assert build(training=True)["use_pallas_attention"] is True
