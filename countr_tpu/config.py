@@ -69,6 +69,12 @@ class CounTRConfig:
     # inference if the fused custom VJP ever regresses a step
     # (scripts/ab_train_fused.py is the measurement).
     fused_attn_block: bool = True
+    # Decoder-stage override for fused_attn_block (None = follow it).
+    # The decoder's self-attention branch measured neutral at the
+    # branch level (0.941 fused vs 0.928 ms, docs/PROFILE.md round-3
+    # table); scripts/ab_decoder_fused.py prices it at the
+    # full-forward level so the wiring decision is same-session data.
+    fused_attn_block_decoder: Optional[bool] = None
     # tanh-approximate GELU instead of exact erf. The approximation
     # error (<3.2e-3 absolute) is below bf16 rounding (2^-8 relative),
     # and erf costs ~2 ms/layer more on v5e (scripts/profile_encoder.py)

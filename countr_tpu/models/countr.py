@@ -310,10 +310,15 @@ class CounTR(nn.Module):
         self.exemplar_encoder = ExemplarEncoder(
             cfg.decoder_embed_dim, dec_dt, name="exemplar_encoder"
         )
+        dec_fused = (
+            cfg.fused_attn_block
+            if cfg.fused_attn_block_decoder is None
+            else cfg.fused_attn_block_decoder
+        )
         self.decoder_blocks = [
             CrossAttentionBlock(
                 cfg.decoder_num_heads, cfg.mlp_ratio, cfg.ln_eps, dec_dt,
-                use_pallas=dec_pallas, fused_block=cfg.fused_attn_block,
+                use_pallas=dec_pallas, fused_block=dec_fused,
                 approx_gelu=dec_gelu, name=f"decoder_blocks_{i}",
             )
             for i in range(cfg.decoder_depth)

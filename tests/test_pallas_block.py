@@ -262,3 +262,30 @@ def test_fused_cross_bf16_interpret_matches_composition(rng):
         np.float32,
     )
     np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+def test_decoder_fused_override_tree_and_outputs(rng):
+    """CounTRConfig.fused_attn_block_decoder overrides ONLY the decoder
+    stage: param trees stay identical and the bf16 outputs match the
+    all-fused config (the override is a perf knob, never a numerics or
+    checkpoint-format change — scripts/ab_decoder_fused.py is the
+    measurement it serves)."""
+    from countr_tpu.config import CounTRConfig
+    from countr_tpu.models.countr import CounTR
+
+    kw = dict(
+        img_size=64, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=32, decoder_depth=2, decoder_num_heads=4,
+        head_width=32, dtype=jnp.bfloat16, use_pallas_attention=True,
+        fused_attn_block=True,
+    )
+    m_all = CounTR(CounTRConfig(**kw))
+    m_dec_off = CounTR(CounTRConfig(**kw, fused_attn_block_decoder=False))
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0, 1, (2, 3, 64, 64, 3)), jnp.float32)
+    pa = m_all.init(jax.random.key(0), imgs, boxes, 2)
+    pb = m_dec_off.init(jax.random.key(0), imgs, boxes, 2)
+    assert jax.tree_util.tree_structure(pa) == jax.tree_util.tree_structure(pb)
+    da = np.asarray(m_all.apply(pa, imgs, boxes, 2), np.float32)
+    db = np.asarray(m_dec_off.apply(pa, imgs, boxes, 2), np.float32)
+    np.testing.assert_allclose(db, da, atol=0.08, rtol=0.05)
