@@ -154,22 +154,49 @@ def finalize(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-image (count, sum of exemplar-rect densities) — the TTN
     statistic before the /3 and threshold (reference:
-    FSC_test_cross(few-shot).py:353-359). Rect sums via an integral
-    image + 4-corner gather; bounds are inclusive like the reference's
-    [y1:y2+1, x1:x2+1] slicing."""
+    FSC_test_cross(few-shot).py:353-359). Bounds are inclusive like the
+    reference's [y1:y2+1, x1:x2+1] slicing.
+
+    ONE bandwidth-bound pass: rect sums as a batched masked matmul
+    (density [R,h,wb] x column masks [R,wb,K+1] -> per-row column sums,
+    then row-masked reduce), with an all-ones extra "rect" yielding the
+    total count from the same read. The earlier integral-image
+    formulation streamed the density three times (two cumsums + the
+    count reduce) and measured 1.46 ms/set; this one sits below the
+    probe's noise floor (scripts/profile_pipeline.py — full pipeline
+    138.2 -> 136.8 ms/set, 650 -> 658 w/s); direct masked sums also
+    match the reference's direct slicing more closely than cumsum
+    rounding."""
     r, h, wb = density.shape
-    counts = jnp.sum(density, axis=(1, 2)) / DENSITY_SCALE
-    ii = jnp.pad(density, ((0, 0), (1, 0), (1, 0))).cumsum(1).cumsum(2)
-
-    def one(ii_n, rect_n, valid_n):
-        y1 = jnp.clip(rect_n[:, 0], 0, h)
-        x1 = jnp.clip(rect_n[:, 1], 0, wb)
-        y2 = jnp.clip(rect_n[:, 2] + 1, 0, h)
-        x2 = jnp.clip(rect_n[:, 3] + 1, 0, wb)
-        s = ii_n[y2, x2] - ii_n[y1, x2] - ii_n[y2, x1] + ii_n[y1, x1]
-        return jnp.sum(s * valid_n) / DENSITY_SCALE
-
-    esum = jax.vmap(one)(ii, rects, rect_valid)
+    k = rects.shape[1]
+    y1, x1 = rects[..., 0], rects[..., 1]
+    y2, x2 = rects[..., 2], rects[..., 3]
+    cols = jnp.arange(wb, dtype=jnp.int32)
+    rows = jnp.arange(h, dtype=jnp.int32)
+    colmask = (
+        (cols[None, None, :] >= x1[..., None])
+        & (cols[None, None, :] <= x2[..., None])
+    ).astype(density.dtype)  # [R, K, wb]
+    rowmask = (
+        (rows[None, None, :] >= y1[..., None])
+        & (rows[None, None, :] <= y2[..., None])
+    ).astype(density.dtype)  # [R, K, h]
+    ones = jnp.ones((r, 1, wb), density.dtype)
+    # HIGHEST: these contractions carry the f32 counts — the TPU default
+    # would run them as bf16 matmuls; the op is bandwidth-bound so the
+    # extra MXU passes are free.
+    colsums = jnp.einsum(
+        "rhw,rkw->rkh", density, jnp.concatenate([colmask, ones], axis=1),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [R, K+1, h]
+    counts = jnp.sum(colsums[:, k, :], axis=-1) / DENSITY_SCALE
+    esum = (
+        jnp.einsum(
+            "rkh,rkh->rk", colsums[:, :k, :], rowmask,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        * rect_valid
+    ).sum(-1) / DENSITY_SCALE
     return counts, esum
 
 
