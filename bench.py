@@ -197,12 +197,8 @@ def main():
         n = sp["plan"]["img_owner"].shape[0]
         n_img = len(idxs)
         n_grid = sum(1 for i in idxs if rects[i][0] == TINY_RECTS[0])
-        n_plain = sp["plan"]["n_plain"]
-        slots = sum(
-            bk
-            for m in (n_plain, n - n_plain)
-            for _, bk in chunk_plan(m, BATCH_WINDOWS)
-        )
+        # unified stream: one chunk ladder over plain+resampled windows
+        slots = sum(bk for _, bk in chunk_plan(n, BATCH_WINDOWS))
         args, _, make_loop = fused_set_program(model, sp, BATCH_WINDOWS, 3)
         run = jax.jit(make_loop(iters))
         floor = dispatch_floor(iters)

@@ -37,6 +37,19 @@ def width_bucket(w: int) -> int:
     return ((w + 511) // 512) * 512
 
 
+def stream_chunks(n_plain: int, n: int, b: int, multiple: int = 1):
+    """Unified chunking of the FULL window stream (plain windows
+    [0, n_plain) then resampled [n_plain, n)): yields (i, j, bk) spans
+    over the combined list, so at most ONE chunk straddles the
+    plain/resampled boundary (extracting each part with its own kernel
+    and concatenating) and a set pays ONE graduated tail instead of
+    two. With the window-aware set packer (CountingEngine
+    .plan_batch_sets) landing set totals on multiples of b, every chunk
+    of a non-final set is a FULL b — zero padded forward slots."""
+    for off, bk in chunk_plan(n, b, multiple):
+        yield off, min(off + bk, n), bk
+
+
 def chunk_plan(n: int, b: int, multiple: int = 1):
     """(offset, batch_bucket) chunks covering n windows: full chunks of
     b, then ONE graduated tail bucket from {4, 8, 16, 24, ...} — so a
@@ -240,29 +253,32 @@ def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
             return arr
         return np.concatenate([arr, np.zeros((pad, *arr.shape[1:]), arr.dtype)], 0)
 
-    plain_chunks, rs_chunks = [], []
-    for off, bk in chunk_plan(n_plain, b):
-        i, j = off, min(off + bk, n_plain)
-        plain_chunks.append({
+    # ONE unified chunk stream over the combined window list: pure-plain
+    # chunks slice, pure-resampled chunks gather-lerp, and the (at most
+    # one) straddling chunk concatenates both extractions — so the set
+    # pays a single graduated tail. Per-chunk part sizes are STATIC
+    # (chunk_shapes, closed over by preds_fn), only arrays ride the
+    # pytree.
+    chunks, chunk_shapes = [], []
+    for i, j, bk in stream_chunks(n_plain, n, b):
+        q = max(0, min(j, n_plain) - i)  # plain members of this chunk
+        r = (j - i) - q  # resampled members
+        ch = {
             "owners": pad_to(plan["img_owner"][i:j], bk),
             "starts": pad_to(plan["den_start"][i:j], bk),
-            "abs": pad_to(plan["abs_start"][i:j], bk),
             "den_own": pad_to(plan["den_owner"][i:j], bk),
             "wcols": pad_to(plan["wcol"][i:j], bk),
-        })
-    for off, bk in chunk_plan(n - n_plain, b):
-        i, j = n_plain + off, min(n_plain + off + bk, n)
-        r, s = i - n_plain, j - n_plain
-        rs_chunks.append({
-            "owners": pad_to(plan["img_owner"][i:j], bk),
-            "den_start": pad_to(plan["den_start"][i:j], bk),
-            "den_own": pad_to(plan["den_owner"][i:j], bk),
-            "wcols": pad_to(plan["wcol"][i:j], bk),
-            "maps": [
-                pad_to(plan[k][r:s], bk)
+        }
+        if q:
+            ch["abs"] = plan["abs_start"][i : i + q]
+        if r:
+            lo = max(i, n_plain) - n_plain
+            ch["maps"] = [
+                plan[k][lo : lo + r]
                 for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1")
-            ],
-        })
+            ]
+        chunks.append(ch)
+        chunk_shapes.append((q, r, bk))
 
     # density row -> position of its owner image in the set (padded
     # rows -> dummy segment n_img); per-image LAST row for the TTN
@@ -278,12 +294,21 @@ def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
 
     from countr_tpu.models.countr import CounTR
 
-    def preds_fn(p, images_u8, bstack, pchunks, rchunks, rarr, rvalid,
+    def preds_fn(p, images_u8, bstack, chunks, rarr, rvalid,
                  row_owner, last_row):
         y_all = model.apply(p, bstack, shot_num, method=CounTR.encode_exemplars)
         density = jnp.zeros((r_bucket, WINDOW, wb), jnp.float32)
-        for ch in pchunks:
-            win = extract_windows(images_u8, ch["abs"])
+        for ch, (q, r, bk) in zip(chunks, chunk_shapes):
+            parts = []
+            if q:
+                parts.append(extract_windows(images_u8, ch["abs"]))
+            if r:
+                parts.append(extract_windows_resampled(images_u8, *ch["maps"]))
+            win = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+            if bk - (q + r):
+                win = jnp.pad(
+                    win, ((0, bk - (q + r)), (0, 0), (0, 0), (0, 0))
+                )
             dens = model.apply(
                 p, win, jnp.take(y_all, ch["owners"], axis=0),
                 method=CounTR.forward_tokens,
@@ -291,29 +316,20 @@ def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
             density = accumulate(
                 density, dens, ch["den_own"], ch["starts"], ch["wcols"]
             )
-        for ch in rchunks:
-            win = extract_windows_resampled(images_u8, *ch["maps"])
-            dens = model.apply(
-                p, win, jnp.take(y_all, ch["owners"], axis=0),
-                method=CounTR.forward_tokens,
-            )
-            density = accumulate(
-                density, dens, ch["den_own"], ch["den_start"], ch["wcols"]
-            )
         counts, esum = finalize(density, rarr, rvalid)
         raw = jax.ops.segment_sum(counts, row_owner, num_segments=n_img + 1)[:n_img]
         e = jnp.take(esum, last_row) / 3.0
         return jnp.where(e > 1.8, raw / jnp.maximum(e, 1e-9), raw)
 
     def make_loop(iters: int):
-        def loop(p, images_u8, bstack, pchunks, rchunks, rarr, rvalid,
+        def loop(p, images_u8, bstack, chunks, rarr, rvalid,
                  row_owner, last_row):
             def body(c, _):
                 delta = (jnp.abs(c * 1e6) % 2.0).astype(jnp.uint8)
                 preds = preds_fn(
                     p, images_u8 + delta,
                     bstack + (c * 1e-12).astype(bstack.dtype),
-                    pchunks, rchunks, rarr, rvalid, row_owner, last_row,
+                    chunks, rarr, rvalid, row_owner, last_row,
                 )
                 return jnp.sum(preds) * jnp.float32(1e-9), None
 
@@ -323,8 +339,7 @@ def fused_set_program(model, sp: dict, batch_windows: int, shot_num: int = 3):
 
     args = (
         jnp.asarray(sp["stackr"]), jnp.asarray(sp["bstack"]),
-        jax.tree.map(jnp.asarray, plain_chunks),
-        jax.tree.map(jnp.asarray, rs_chunks),
+        jax.tree.map(jnp.asarray, chunks),
         jnp.asarray(sp["rects_arr"]), jnp.asarray(sp["rects_valid"]),
         jnp.asarray(row_owner), jnp.asarray(last_row),
     )
@@ -362,6 +377,26 @@ class DevicePipeline:
         self._extract_rs = jax.jit(extract_windows_resampled)
         self._accumulate = jax.jit(accumulate, donate_argnums=(0,))
         self._finalize = jax.jit(finalize)
+
+        def extract_mixed(images, abs_s, ix0, ix1, wx1, iy0, iy1, wy1, bk):
+            """The straddling chunk: plain slices + resampled gathers
+            concatenated, zero-padded to the forward bucket (padded
+            slots carry wcol=0 so the accumulate ignores them)."""
+            win = jnp.concatenate(
+                [
+                    extract_windows(images, abs_s),
+                    extract_windows_resampled(
+                        images, ix0, ix1, wx1, iy0, iy1, wy1
+                    ),
+                ],
+                0,
+            )
+            pad = bk - win.shape[0]
+            if pad:
+                win = jnp.pad(win, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            return win
+
+        self._extract_mixed = jax.jit(extract_mixed, static_argnums=(8,))
 
     def run(
         self,
@@ -413,40 +448,52 @@ class DevicePipeline:
 
         mult = self.mesh.devices.size if sharded else 1
 
-        def chunks(lo, hi):
-            for off, bk in chunk_plan(hi - lo, b, mult):
-                yield lo + off, min(lo + off + bk, hi), bk
-
         def put(arr):
             dev = jnp.asarray(arr)
             return jax.device_put(dev, self._bsh) if sharded else dev
 
-        # plain segment: dynamic-slice extraction
-        for i, j, bk in chunks(0, n_plain):
+        # Chunk spans (i, j, bk) over the combined window list. Sharded
+        # runs keep two pure streams (every part must stay
+        # mesh-divisible); single-device runs chunk the COMBINED stream
+        # so at most one straddling chunk replaces two graduated tails
+        # (results are chunking-invariant — the stitch weights are
+        # per-window).
+        if sharded:
+            descs = [
+                (lo + off, min(lo + off + bk, hi), bk)
+                for (lo, hi) in ((0, n_plain), (n_plain, n))
+                for off, bk in chunk_plan(hi - lo, b, mult)
+            ]
+        else:
+            descs = list(stream_chunks(n_plain, n, b))
+
+        for i, j, bk in descs:
+            q = max(0, min(j, n_plain) - i)  # plain members
+            r = (j - i) - q  # resampled members
             owners = put(pad_to(plan["img_owner"][i:j], bk))
             starts = put(pad_to(plan["den_start"][i:j], bk))
-            abs_s = put(pad_to(plan["abs_start"][i:j], bk))
             den_own = put(pad_to(plan["den_owner"][i:j], bk))
             wcols = put(pad_to(plan["wcol"][i:j], bk))
-            windows = self._extract(images, abs_s)
+            if r == 0:
+                abs_s = put(pad_to(plan["abs_start"][i:j], bk))
+                windows = self._extract(images, abs_s)
+            elif q == 0:
+                lo = i - n_plain
+                maps = [
+                    put(pad_to(plan[k][lo : lo + (j - i)], bk))
+                    for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1")
+                ]
+                windows = self._extract_rs(images, *maps)
+            else:
+                abs_s = jnp.asarray(plan["abs_start"][i : i + q])
+                lo = max(i, n_plain) - n_plain
+                maps = [
+                    jnp.asarray(plan[k][lo : lo + r])
+                    for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1")
+                ]
+                windows = self._extract_mixed(images, abs_s, *maps, bk)
             dens = self._fwd(self.params, windows, y_all, owners)
             density = self._accumulate(density, dens, den_own, starts, wcols)
-
-        # resampled segment: fused gather-lerp extraction (grid mode)
-        for i, j, bk in chunks(n_plain, n):
-            r = i - n_plain
-            s = j - n_plain
-            owners = put(pad_to(plan["img_owner"][i:j], bk))
-            den_start = put(pad_to(plan["den_start"][i:j], bk))
-            den_own = put(pad_to(plan["den_owner"][i:j], bk))
-            wcols = put(pad_to(plan["wcol"][i:j], bk))
-            maps = [
-                put(pad_to(plan[k][r:s], bk))
-                for k in ("ix0", "ix1", "wx1", "iy0", "iy1", "wy1")
-            ]
-            windows = self._extract_rs(images, *maps)
-            dens = self._fwd(self.params, windows, y_all, owners)
-            density = self._accumulate(density, dens, den_own, den_start, wcols)
 
         counts, esum = self._finalize(
             density, jnp.asarray(rects_np), jnp.asarray(rect_valid_np)

@@ -298,21 +298,65 @@ class CountingEngine:
         """Pack a batch into device sets: sort by width so each set pads
         to a nearby bucket (low H2D waste) while staying full, then
         greedy-pack into sets bounded by the row bucket (a grid-mode
-        image consumes 9 density rows). Exposed so bench.py can time the
-        exact production set composition."""
+        image consumes 9 density rows). Window-aware boundaries: when a
+        set fills, it is cut at the LATEST prefix whose total forward-
+        window count is a multiple of batch_windows (images after the
+        cut carry into the next set) — with the unified chunk stream
+        (device_pipeline.stream_chunks) such a set runs zero padded
+        forward slots and no below-peak tail batch. Exposed so bench.py
+        can time the exact production set composition."""
+        from countr_tpu.engine.stitch import window_starts
+
+        b = self.batch_windows
         order = sorted(range(len(images)), key=lambda i: images[i].shape[1])
+
+        def rows_wins(i):
+            w = images[i].shape[1]
+            if w >= WINDOW:
+                nw = len(window_starts(w))
+            else:
+                nw = 0 if self.narrow_policy == "reference" else 1
+            if small_exemplar_count(rects_list[i]) >= self.max_s_cnt:
+                return 9, 9 * nw  # 3x3 grid: 9 density rows, 9x windows
+            return 1, nw
+
         sets: List[List[int]] = []
-        set_idx: List[int] = []
+        cur: List[int] = []
         rows_used = 0
+        wins_after: List[int] = []  # cumulative windows after cur[k]
+        rows_after: List[int] = []
         for i in order:
-            need = 9 if small_exemplar_count(rects_list[i]) >= self.max_s_cnt else 1
-            if set_idx and rows_used + need > self.images_bucket:
-                sets.append(set_idx)
-                set_idx, rows_used = [], 0
-            set_idx.append(i)
+            need, wins = rows_wins(i)
+            if cur and rows_used + need > self.images_bucket:
+                # Cut at the latest zero-tail prefix, as long as it
+                # keeps the set reasonably full (>= half the row
+                # budget) — a too-early cut would trade tail slots for
+                # extra per-set overhead (upload bucket, finalize).
+                cut = len(cur)
+                for k in range(len(cur), 0, -1):
+                    if (
+                        wins_after[k - 1] % b == 0
+                        and wins_after[k - 1] > 0
+                        and rows_after[k - 1] * 2 >= self.images_bucket
+                        # carried-over images + the pending one still fit
+                        and rows_used - rows_after[k - 1] + need
+                        <= self.images_bucket
+                    ):
+                        cut = k
+                        break
+                sets.append(cur[:cut])
+                cur = cur[cut:]
+                wbase = wins_after[cut - 1] if cut else 0
+                rbase = rows_after[cut - 1] if cut else 0
+                wins_after = [wa - wbase for wa in wins_after[cut:]]
+                rows_after = [ra - rbase for ra in rows_after[cut:]]
+                rows_used -= rbase
+            cur.append(i)
             rows_used += need
-        if set_idx:
-            sets.append(set_idx)
+            wins_after.append((wins_after[-1] if wins_after else 0) + wins)
+            rows_after.append(rows_used)
+        if cur:
+            sets.append(cur)
         return sets
 
     def _row_bucket(self, n_rows: int) -> int:

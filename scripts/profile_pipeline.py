@@ -80,21 +80,21 @@ def main():
     idxs = engine.plan_batch_sets(images, rects)[0]
     sp = engine._plan_set(idxs, images, boxes, rects, 3)
     fargs, preds_fn, make_loop = fused_set_program(model, sp, BATCH_WINDOWS, 3)
-    (images_u8, bstack, pchunks, rchunks, rarr, rvalid, row_owner,
-     last_row) = fargs
+    (images_u8, bstack, chunks, rarr, rvalid, row_owner, last_row) = fargs
+    # unified stream: chunks with "abs" have a plain part, chunks with
+    # "maps" a resampled part (a straddling chunk has both)
+    pchunks = [ch for ch in chunks if "abs" in ch]
+    rchunks = [ch for ch in chunks if "maps" in ch]
     plan = sp["plan"]
     n = plan["img_owner"].shape[0]
     n_img = len(idxs)
     r_bucket = sp["r_bucket"]
     wb = sp["den_width"]
-    slots = sum(
-        bk
-        for m in (plan["n_plain"], n - plan["n_plain"])
-        for _, bk in chunk_plan(m, BATCH_WINDOWS)
-    )
+    slots = sum(bk for _, bk in chunk_plan(n, BATCH_WINDOWS))
     print(f"set: {n} windows / {n_img} imgs, {slots} slots, "
           f"r_bucket={r_bucket}, wb={wb}, "
-          f"{len(pchunks)} plain + {len(rchunks)} grid chunks", flush=True)
+          f"{len(chunks)} chunks ({len(pchunks)} w/ plain part, "
+          f"{len(rchunks)} w/ resample part)", flush=True)
 
     def dispatch_floor(iters):
         def empty(x):
@@ -182,24 +182,19 @@ def main():
         rng.uniform(0, 1, (BATCH_WINDOWS, WINDOW, WINDOW)), jnp.float32
     )
 
-    def loop_acc(dens0, pchunks, rchunks):
+    def loop_acc(dens0, chunks):
         def body(c, _):
             density = jnp.zeros((r_bucket, WINDOW, wb), jnp.float32)
-            for ch in pchunks:
-                d = dens0[: ch["abs"].shape[0]] + c * 1e-12
+            for ch in chunks:
+                d = dens0[: ch["owners"].shape[0]] + c * 1e-12
                 density = accumulate(
                     density, d, ch["den_own"], ch["starts"], ch["wcols"]
-                )
-            for ch in rchunks:
-                d = dens0[: ch["den_start"].shape[0]] + c * 1e-12
-                density = accumulate(
-                    density, d, ch["den_own"], ch["den_start"], ch["wcols"]
                 )
             return jnp.float32(density.ravel()[0]) * 1e-9, None
 
         return lax.scan(body, jnp.float32(0.0), None, length=args.iters)[0]
 
-    t_acc = timeit("stitch accumulate", loop_acc, dens0, pchunks, rchunks)
+    t_acc = timeit("stitch accumulate", loop_acc, dens0, chunks)
 
     # --- finalize (+TTN readout)
     den0 = jnp.asarray(

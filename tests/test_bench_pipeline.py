@@ -37,6 +37,61 @@ TINY_RECTS = [(12, 12, 17, 17), (60, 60, 65, 65), (100, 100, 105, 105)]
 PLAIN_RECTS = [(40, 40, 110, 120), (150, 60, 230, 140), (250, 200, 330, 300)]
 
 
+def _tiny_engine(**kw):
+    from countr_tpu.config import CounTRConfig
+
+    cfg = CounTRConfig(
+        img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        head_width=32,
+    )
+    return CountingEngine(CounTR(cfg), {"params": {}}, **kw)
+
+
+def test_plan_batch_sets_window_aware_cut():
+    """When a set fills, the packer cuts at the latest prefix whose
+    window total is a multiple of batch_windows: width-512 images carry
+    2 windows each, so with batch_windows=8 and a 7-row budget every
+    non-final set must close at 4 images / 8 windows (zero padded
+    forward slots), not the naive 7 images / 14 windows."""
+    engine = _tiny_engine(batch_windows=8, images_bucket=7)
+    images = [np.zeros((384, 512, 3), np.uint8) for _ in range(19)]
+    rects = [list(PLAIN_RECTS) for _ in images]
+    sets = engine.plan_batch_sets(images, rects)
+    assert sorted(i for s in sets for i in s) == list(range(19))
+    assert [len(s) for s in sets[:-1]] == [4] * (len(sets) - 1)
+
+
+def test_plan_batch_sets_invariants_mixed_geometry():
+    """On an FSC147-like mixed batch (grid images included): every image
+    assigned exactly once, row budget respected, and the FIRST set (the
+    one bench.py times) closes on a zero-tail window count."""
+    from countr_tpu.engine.stitch import window_starts
+
+    engine = _tiny_engine(batch_windows=32, images_bucket=48)
+    rng = np.random.default_rng(3)
+    widths = [384, 448, 512, 512, 576, 640, 512, 688, 512, 464, 576, 512]
+    images = [
+        rng.integers(0, 256, (384, widths[i % len(widths)], 3), np.uint8)
+        for i in range(64)
+    ]
+    rects = [
+        list(TINY_RECTS) if i % 10 == 9 else list(PLAIN_RECTS)
+        for i in range(64)
+    ]
+    sets = engine.plan_batch_sets(images, rects)
+    assert sorted(i for s in sets for i in s) == list(range(64))
+
+    def wins(i):
+        nw = len(window_starts(images[i].shape[1]))
+        return 9 * nw if rects[i][0] == TINY_RECTS[0] else nw
+
+    for s in sets[:-1]:
+        rows = sum(9 if rects[i][0] == TINY_RECTS[0] else 1 for i in s)
+        assert rows <= engine.images_bucket
+    assert sum(wins(i) for i in sets[0]) % engine.batch_windows == 0
+
+
 @pytest.fixture(scope="module")
 def setup(rng_module):
     rng = rng_module
