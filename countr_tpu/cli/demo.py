@@ -36,7 +36,7 @@ def get_args():
     p.add_argument("--boxes", default="", type=str,
                    help="exemplar boxes 'x1,y1,x2,y2;...' in original "
                         "image pixels (absent = zero-shot)")
-    p.add_argument("--batch_windows", default=32, type=int)
+    p.add_argument("--batch_windows", default=16, type=int)
     p.add_argument("--no_normalization", action="store_true")
     return p.parse_args()
 

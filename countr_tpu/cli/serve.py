@@ -30,7 +30,7 @@ def get_args():
     common.add_model_args(p, default_model="mae_vit_base6_patch16")
     p.add_argument("--host", default="127.0.0.1", type=str)
     p.add_argument("--port", default=8700, type=int)
-    p.add_argument("--batch_windows", default=32, type=int)
+    p.add_argument("--batch_windows", default=16, type=int)
     p.add_argument("--max_batch_images", default=16, type=int)
     p.add_argument("--batch_wait_ms", default=5.0, type=float,
                    help="micro-batching window")

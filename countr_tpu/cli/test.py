@@ -40,7 +40,7 @@ def get_args():
                    help="disable test-time normalization")
     p.add_argument("--batch_images", default=16, type=int,
                    help="images pooled per device flush")
-    p.add_argument("--batch_windows", default=32, type=int)
+    p.add_argument("--batch_windows", default=16, type=int)
     p.add_argument("--n_devices", default=0, type=int,
                    help="shard window batches over the first N devices "
                         "of the mesh (0 = all; the reference evaluates "

@@ -210,7 +210,12 @@ class TestConfig:
     # (reference: FSC_test_cross(few-shot).py:59-60, :264-273).
     max_s_cnt: int = 1
     normalization: bool = True
-    batch_windows: int = 32  # device batch of 384x384 windows
+    # Device batch of 384x384 windows. 16 beats 24/32/48/64 at the
+    # full-pipeline level on v5e (scripts/ab_pipeline_batch.py,
+    # interleaved same-session: 691-693 w/s vs 656-690) and its finer
+    # cut granularity lets the window-aware set packer keep sets
+    # fuller. Must stay a multiple of the mesh size for sharded runs.
+    batch_windows: int = 16
     seed: int = 0
 
 

@@ -29,7 +29,7 @@ N_IMAGES = 64
 GRID_EVERY = 10
 TINY_RECTS = [(0, 0, 9, 9), (12, 0, 21, 9), (0, 12, 9, 21)]
 PLAIN_RECTS = [(10, 10, 80, 80), (100, 40, 180, 120), (30, 200, 110, 280)]
-BATCH_WINDOWS = 32
+BATCH_WINDOWS = 16
 
 
 def main():
