@@ -230,7 +230,7 @@ def main():
 
         return lax.scan(body, jnp.float32(0.0), None, length=args.iters)[0]
 
-    t_fwd32 = timeit("forward b32 (x1)", loop_fwd, params, imgs32, y32)
+    t_fwd32 = timeit(f"forward b{BATCH_WINDOWS} (x1)", loop_fwd, params, imgs32, y32)
 
     t_fwd = t_fwd32 * slots / BATCH_WINDOWS
     known = t_embed + t_ex + t_rs + t_acc + t_fin + t_fwd
