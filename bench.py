@@ -256,6 +256,13 @@ def main():
 
     n_windows = sum(r.n_windows for r in results)
     ips = len(images) / dt
+    # Pass-rate spread: the shared tunnel's session weather swings the
+    # e2e number (docs/PROFILE.md documents 118 vs 64 TFLOP/s across
+    # sessions); min/median/max img/s over the N passes lets a future
+    # regression be separated from link weather without re-running.
+    ips_all = sorted(len(images) / t for t in times)
+    ips_min = ips_all[0]
+    ips_med = ips_all[len(ips_all) // 2]
     # H2D accounting: the engine uploads uint8 pixels + the window plan
     # once per image per pass. On this machine the tunnel link
     # (15-30 MB/s) dominates end-to-end; model what the same pipeline
@@ -299,6 +306,9 @@ def main():
             "compile_cache_hits": cache_events["hits"],
             "compile_cache_misses": cache_events["misses"],
             "pass_times_s": [round(t, 3) for t in times],
+            "images_per_sec_min": round(ips_min, 2),
+            "images_per_sec_median": round(ips_med, 2),
+            "images_per_sec_max": round(ips, 2),
             "device_pipeline_images_per_sec": round(pipe_ips, 1),
             "projected_pcie_host_images_per_sec": round(projected_pcie_ips, 1),
         },
