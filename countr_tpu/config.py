@@ -214,7 +214,13 @@ class TestConfig:
     # full-pipeline level on v5e (scripts/ab_pipeline_batch.py,
     # interleaved same-session: 691-693 w/s vs 656-690) and its finer
     # cut granularity lets the window-aware set packer keep sets
-    # fuller. Must stay a multiple of the mesh size for sharded runs.
+    # fuller. Must stay a multiple of the mesh size for sharded runs
+    # (the pipeline warns and falls back to single-device otherwise).
+    # Note: the packer's zero-tail occupancy guarantee (set totals cut
+    # on multiples of batch_windows) holds on SINGLE-device runs, where
+    # the chunk stream is unified; sharded runs keep separate
+    # plain/resampled streams so a set may still pay one graduated tail
+    # per stream (engine/device_pipeline.py run()).
     batch_windows: int = 16
     seed: int = 0
 

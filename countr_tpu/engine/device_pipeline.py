@@ -427,6 +427,17 @@ class DevicePipeline:
         """
         h, wb = WINDOW, den_width
         sharded = self.mesh is not None and batch_windows % self.mesh.devices.size == 0
+        if self.mesh is not None and not sharded and not getattr(self, "_warned_unsharded", False):
+            import warnings
+
+            self._warned_unsharded = True
+            warnings.warn(
+                f"batch_windows={batch_windows} is not a multiple of the "
+                f"{self.mesh.devices.size}-device mesh; the pipeline falls "
+                f"back to SINGLE-device execution. Pick a batch_windows the "
+                f"mesh size divides to shard window chunks across devices.",
+                stacklevel=2,
+            )
         if sharded:
             images = jax.device_put(images_np, self._rsh)
             y_all = jax.device_put(y_all, self._rsh)

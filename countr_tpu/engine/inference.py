@@ -33,7 +33,7 @@ default we pad them to one full window instead.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -312,20 +312,11 @@ class CountingEngine:
         (device_pipeline.stream_chunks) such a set runs zero padded
         forward slots and no below-peak tail batch. Exposed so bench.py
         can time the exact production set composition."""
-        from countr_tpu.engine.stitch import window_starts
-
         b = self.batch_windows
         order = sorted(range(len(images)), key=lambda i: images[i].shape[1])
 
         def rows_wins(i):
-            w = images[i].shape[1]
-            if w >= WINDOW:
-                nw = len(window_starts(w))
-            else:
-                nw = 0 if self.narrow_policy == "reference" else 1
-            if small_exemplar_count(rects_list[i]) >= self.max_s_cnt:
-                return 9, 9 * nw  # 3x3 grid: 9 density rows, 9x windows
-            return 1, nw
+            return self.windows_per_image(images[i].shape[1], rects_list[i])
 
         sets: List[List[int]] = []
         cur: List[int] = []
@@ -374,6 +365,22 @@ class CountingEngine:
         while b < n_rows:
             b *= 2
         return min(max(b, 4), max(self.images_bucket, n_rows))
+
+    def windows_per_image(self, width: int, rects) -> Tuple[int, int]:
+        """(density_rows, forward_windows) one image contributes to a
+        set — THE single source of truth shared by the set packer
+        (plan_batch_sets) and asserted against what _plan_set actually
+        emits, so the packer's zero-tail cuts can never silently drift
+        off batch boundaries if window generation changes."""
+        from countr_tpu.engine.stitch import window_starts
+
+        if width >= WINDOW:
+            nw = len(window_starts(width))
+        else:
+            nw = 0 if self.narrow_policy == "reference" else 1
+        if small_exemplar_count(rects) >= self.max_s_cnt:
+            return 9, 9 * nw  # 3x3 grid: 9 density rows, 9x windows
+        return 1, nw
 
     def _plan_set(self, idxs, images, boxes_list, rects_list, shot_num):
         """Host-side set assembly (no device work): upload rows,
@@ -506,6 +513,18 @@ class CountingEngine:
                     rs["wy1"].append(wy1)
 
         n_plain = len(plain["img_owner"])
+        # The packer (plan_batch_sets) sized this set with
+        # windows_per_image; the emitted plan must agree or its
+        # zero-tail cuts silently stop landing on batch boundaries.
+        expect = sum(
+            self.windows_per_image(images[i].shape[1], rects_list[i])[1]
+            for i in idxs
+        )
+        assert n_plain + len(rs["img_owner"]) == expect, (
+            f"window plan emitted {n_plain + len(rs['img_owner'])} windows "
+            f"but windows_per_image predicts {expect} — update "
+            f"windows_per_image to match the generation change"
+        )
         plan = {
             "n_plain": n_plain,
             "img_owner": np.asarray(
