@@ -250,7 +250,6 @@ def main(args):
     else:
         train_step = make_finetune_step(model, tcfg, device_aug=device_aug)
     eval_step = make_eval_step(model)
-    py_rng = random.Random(args.seed)
     min_mae = float("inf")
 
     if resident:
@@ -275,6 +274,12 @@ def main(args):
     log_every = getattr(args, "log_every", 50)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
+        # Per-EPOCH seeded shot-number stream (train + val draws): a
+        # --do_resume run at epoch N then draws exactly what an
+        # uninterrupted run draws at epoch N, making crash-resume
+        # trajectory-exact (the reference's sequential np.random stream
+        # is not; pinned by tests/test_multiprocess.py kill-and-resume).
+        py_rng = random.Random(f"{args.seed}:{epoch}")
         # O(1)-memory device-side running sums (one tiny add per step;
         # a per-step list grows O(steps/epoch) and bloats on larger
         # datasets)

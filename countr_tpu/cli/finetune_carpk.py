@@ -126,9 +126,12 @@ def main(args):
 
         _store_step = make_carpk_store_step(model, tcfg)
         store_arrays = store.arrays
-        host_rng = np.random.default_rng(args.seed)
-
         def resident_batches(epoch):
+            # per-EPOCH seeded streams: a resumed run at epoch N draws
+            # exactly what an uninterrupted run draws at epoch N
+            host_rng = np.random.default_rng(
+                np.random.SeedSequence([args.seed, epoch, 1])
+            )
             order = np.random.default_rng(
                 np.random.SeedSequence([args.seed, epoch])
             ).permutation(store.n_images)

@@ -10,7 +10,7 @@ these.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -89,6 +89,15 @@ class CounTRConfig:
     # scripts/eval_precision.py --bisect.
     encoder_dtype: Optional[jnp.dtype] = None
     decoder_dtype: Optional[jnp.dtype] = None
+    # Per-STAGE dtype overrides INSIDE the density head (None = the
+    # head dtype): a 5-tuple for (stage0 24^2, stage1 48^2, stage2
+    # 96^2, stage3 192^2, pred+final-upsample). Entries that are None
+    # follow head_dtype/dtype. Lets the precision bisection locate the
+    # bf16 count error within the head and compose a cheaper
+    # parity-fidelity mode (scripts/eval_precision.py --head_bisect);
+    # fp32 entries honor head_precision_high. Incompatible with
+    # subpixel_head (the fused phase-space path assumes one dtype).
+    head_stage_dtypes: Optional[Tuple[Optional[jnp.dtype], ...]] = None
     # mixed_fast: run the fp32 head's conv/upsample contractions at
     # lax.Precision.HIGH (3-pass bf16 operand splitting, ~2^-18
     # effective operand precision) instead of fp32's HIGHEST (6-pass).
@@ -121,6 +130,17 @@ class CounTRConfig:
                 f"head_width must be a multiple of the 8 GroupNorm groups "
                 f"(reference: models_mae_cross.py:80-100); got {self.head_width}"
             )
+        if self.head_stage_dtypes is not None:
+            if len(self.head_stage_dtypes) != 5:
+                raise ValueError(
+                    "head_stage_dtypes must have 5 entries (stage0..3, "
+                    f"pred); got {len(self.head_stage_dtypes)}"
+                )
+            if self.subpixel_head:
+                raise ValueError(
+                    "head_stage_dtypes is incompatible with subpixel_head "
+                    "(the fused phase-space path assumes one head dtype)"
+                )
 
     @property
     def grid_size(self) -> int:

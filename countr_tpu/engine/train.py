@@ -179,6 +179,27 @@ def _finetune_core(model, cfg, state, imgs, gt, boxes, rng, shot_num: int):
     return new_state, metrics
 
 
+def _materialize_train_batch(store_arrays, batch, rng, n_mosaic=None):
+    """Resident-store batch assembly + in-step augmentation: pixels
+    materialized from the HBM pool (affine/mosaic), photometric chain
+    on non-mosaic samples (reference: util/FSC147.py:177-255 — mosaic
+    cells stay clean), density synthesis from the dot coordinates.
+    Returns the dict a train phase consumes: imgs/gt/boxes plus 'rng'
+    (the post-split key the loss mask of THIS batch must draw from, so
+    the pipelined step reproduces the serial step's draw sequence)."""
+    from countr_tpu.engine.train_store import materialize_batch
+    from countr_tpu.ops.augment import density_from_dots, photometric
+
+    imgs, boxes = materialize_batch(store_arrays, batch, n_mosaic)
+    rng, k_aug = jax.random.split(rng)
+    keys = jax.random.split(k_aug, imgs.shape[0])
+    imgs = jax.vmap(
+        lambda k, im, mos: jnp.where(mos > 0, im, photometric(k, im))
+    )(keys, imgs, batch["is_mosaic"])
+    gt = jax.vmap(density_from_dots)(batch["dots"], batch["n_dots"])
+    return {"imgs": imgs, "gt": gt, "boxes": boxes, "rng": rng}
+
+
 def make_store_finetune_step(
     model: CounTR, cfg: TrainConfig
 ) -> Callable:
@@ -192,19 +213,70 @@ def make_store_finetune_step(
 
     def step_fn(state: TrainState, store_arrays, batch, rng, shot_num: int,
                 n_mosaic=None):
-        from countr_tpu.engine.train_store import materialize_batch
-        from countr_tpu.ops.augment import density_from_dots, photometric
-
-        imgs, boxes = materialize_batch(store_arrays, batch, n_mosaic)
-        rng, k_aug = jax.random.split(rng)
-        keys = jax.random.split(k_aug, imgs.shape[0])
-        imgs = jax.vmap(
-            lambda k, im, mos: jnp.where(mos > 0, im, photometric(k, im))
-        )(keys, imgs, batch["is_mosaic"])
-        gt = jax.vmap(density_from_dots)(batch["dots"], batch["n_dots"])
-        return _finetune_core(model, cfg, state, imgs, gt, boxes, rng, shot_num)
+        c = _materialize_train_batch(store_arrays, batch, rng, n_mosaic)
+        return _finetune_core(model, cfg, state, c["imgs"], c["gt"],
+                              c["boxes"], c["rng"], shot_num)
 
     return jax.jit(step_fn, static_argnums=(4, 5), donate_argnums=(0,))
+
+
+def make_store_materialize(n_mosaic=None) -> Callable:
+    """jitted materialize(store_arrays, batch, rng) -> carry dict —
+    primes the software-pipelined step below (and materializes the final
+    drained batch's carry when an epoch ends)."""
+    return jax.jit(
+        lambda store_arrays, batch, rng: _materialize_train_batch(
+            store_arrays, batch, rng, n_mosaic
+        )
+    )
+
+
+def make_store_finetune_step_pipelined(
+    model: CounTR, cfg: TrainConfig
+) -> Callable:
+    """Software-pipelined resident fine-tune step: trains on the
+    PREVIOUSLY materialized batch (the device-resident ``carry``) while
+    materializing + augmenting the NEXT batch inside the same program —
+    the ~34 ms/batch-8 affine gather (52% of the serial 64.75 ms step,
+    docs/PROFILE.md) is independent of the fwd/bwd it runs next to, so
+    the compiler/hardware may overlap gather DMA traffic with MXU work.
+
+      step(state, store_arrays, carry, next_batch, next_rng, shot_num,
+           n_mosaic) -> (state, metrics, next_carry)
+
+    shot_num applies to the CARRIED batch (its m_flag rule draw);
+    next_rng is the rng the serial step would receive for next_batch.
+    The loss/metric trajectory is EXACTLY the serial step's, one batch
+    behind: batch k trains with identical pixels, photometric keys and
+    loss-mask key (pinned by tests/test_train_store.py). Prime the
+    first carry with make_store_materialize(); on the final batch of an
+    epoch, run the train phase alone via make_store_train_phase()."""
+
+    def step_fn(state: TrainState, store_arrays, carry, next_batch,
+                next_rng, shot_num: int, n_mosaic=None):
+        new_state, metrics = _finetune_core(
+            model, cfg, state, carry["imgs"], carry["gt"], carry["boxes"],
+            carry["rng"], shot_num,
+        )
+        next_carry = _materialize_train_batch(
+            store_arrays, next_batch, next_rng, n_mosaic
+        )
+        return new_state, metrics, next_carry
+
+    return jax.jit(step_fn, static_argnums=(5, 6), donate_argnums=(0, 2))
+
+
+def make_store_train_phase(model: CounTR, cfg: TrainConfig) -> Callable:
+    """jitted train(state, carry, shot_num) — the pipelined step's
+    train half alone, for draining the last carried batch of an epoch."""
+
+    def train_fn(state: TrainState, carry, shot_num: int):
+        return _finetune_core(
+            model, cfg, state, carry["imgs"], carry["gt"], carry["boxes"],
+            carry["rng"], shot_num,
+        )
+
+    return jax.jit(train_fn, static_argnums=(2,), donate_argnums=(0, 1))
 
 
 def make_carpk_store_step(model: CounTR, cfg: TrainConfig) -> Callable:

@@ -203,19 +203,35 @@ class DensityHead(nn.Module):
     # Conv width; the reference hard-codes 256 (see CounTRConfig
     # .head_width). Must be a multiple of the 8 GroupNorm groups.
     width: int = 256
+    # Per-stage dtype overrides (stage0..3, pred); None entries follow
+    # ``dtype``. See CounTRConfig.head_stage_dtypes.
+    stage_dtypes: tuple = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        prec = (
-            jax.lax.Precision.HIGH
-            if self.precision_high and self.dtype == jnp.float32
-            else matmul_precision(self.dtype)
+        assert not (self.subpixel and self.stage_dtypes), (
+            "per-stage head dtypes require the reference head formulation"
         )
+
+        def sdtype(idx):
+            if self.stage_dtypes is not None and self.stage_dtypes[idx] is not None:
+                return self.stage_dtypes[idx]
+            return self.dtype
+
+        def sprec(idx):
+            d = sdtype(idx)
+            return (
+                jax.lax.Precision.HIGH
+                if self.precision_high and d == jnp.float32
+                else matmul_precision(d)
+            )
+
+        prec = sprec(0) if self.stage_dtypes is None else None
 
         def stage(x, idx):
             x = nn.Conv(
-                self.width, (3, 3), padding="SAME", dtype=self.dtype,
-                param_dtype=jnp.float32, precision=prec,
+                self.width, (3, 3), padding="SAME", dtype=sdtype(idx),
+                param_dtype=jnp.float32, precision=sprec(idx),
                 kernel_init=torch_conv_kernel,
                 bias_init=conv_bias_init(9 * x.shape[-1]), name=f"conv{idx}",
             )(x)
@@ -227,17 +243,17 @@ class DensityHead(nn.Module):
         for idx in range(3):
             x = stage(x, idx)
             if idx < 2 or not self.subpixel:
-                x = upsample2x_bilinear(x, precision=prec)
+                x = upsample2x_bilinear(x, precision=sprec(idx))
 
         if not self.subpixel:
             x = stage(x, 3)
             x = nn.Conv(
-                1, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                1, (1, 1), dtype=sdtype(4), param_dtype=jnp.float32,
                 kernel_init=torch_conv_kernel,
                 bias_init=conv_bias_init(self.width),
-                precision=prec, name="pred",
+                precision=sprec(4), name="pred",
             )(x)
-            x = upsample2x_bilinear(x, precision=prec)
+            x = upsample2x_bilinear(x, precision=sprec(4))
             return x[..., 0]  # [B, H, W]
 
         # Fused: x is stage2's output at 96^2; conv3 consumes it as a
@@ -328,6 +344,7 @@ class CounTR(nn.Module):
             cfg.head_dtype or cfg.dtype,
             precision_high=cfg.head_precision_high,
             subpixel=cfg.subpixel_head, width=cfg.head_width,
+            stage_dtypes=cfg.head_stage_dtypes,
             name="density_head",
         )
         # Fixed (non-learned) sin-cos position embeddings

@@ -69,6 +69,16 @@ def main():
     p.add_argument("--bisect", action="store_true",
                    help="lower one stage at a time to bf16 instead of "
                         "the fp32/bf16/mixed ladder")
+    p.add_argument("--head_bisect", action="store_true",
+                   help="locate the bf16 error WITHIN the density head: "
+                        "fp32 model with ONE bf16 head stage per mode "
+                        "(hs0..hs3 = conv stages, hs4 = pred+final-up)")
+    p.add_argument("--modes", default="", type=str,
+                   help="explicit comma-separated mode list; supports "
+                        "fp32,bf16,mixed,mixed_fast,enc16,dec16,head16,"
+                        "hs0..hs4, and mix:<stages> (bf16 trunk + "
+                        "fp32-HIGH head except listed bf16 stages, e.g. "
+                        "mix:012)")
     args = p.parse_args()
 
     import jax
@@ -107,6 +117,31 @@ def main():
                 head_dtype=jnp.float32, head_precision_high=True,
                 use_pallas_attention=True, approx_gelu=True, **kw,
             )
+        if mode.startswith("hs"):
+            # head-stage bisect: fp32 everywhere except ONE bf16 stage
+            # INSIDE the head (hs0..hs3 = conv stages, hs4 = pred +
+            # final upsample)
+            k = int(mode[2:])
+            return build_countr(
+                "mae_vit_base6_patch16", dtype=jnp.float32,
+                head_stage_dtypes=tuple(
+                    jnp.bfloat16 if i == k else None for i in range(5)
+                ),
+                **kw,
+            )
+        if mode.startswith("mix:"):
+            # candidate production mode: bf16 fast trunk, fp32 head at
+            # Precision.HIGH except the listed stages in bf16
+            # (mix: with no digits = mixed_fast itself)
+            ks = {int(c) for c in mode[4:]}
+            return build_countr(
+                "mae_vit_base6_patch16", dtype=jnp.bfloat16,
+                head_dtype=jnp.float32, head_precision_high=True,
+                head_stage_dtypes=tuple(
+                    jnp.bfloat16 if i in ks else None for i in range(5)
+                ),
+                use_pallas_attention=True, approx_gelu=True, **kw,
+            )
         # Bisect modes: fp32 everywhere except ONE bf16 stage, whose
         # fast-mode kernels (Pallas attn, tanh GELU) engage with it.
         stage = {"enc16": dict(encoder_dtype=jnp.bfloat16),
@@ -117,8 +152,14 @@ def main():
             use_pallas_attention=True, approx_gelu=True, **stage, **kw,
         )
 
-    modes = ("fp32", "enc16", "dec16", "head16") if args.bisect \
-        else ("fp32", "bf16", "mixed", "mixed_fast")
+    if args.modes:
+        modes = tuple(m for m in args.modes.split(",") if m)
+    elif args.head_bisect:
+        modes = ("fp32", "hs0", "hs1", "hs2", "hs3", "hs4")
+    elif args.bisect:
+        modes = ("fp32", "enc16", "dec16", "head16")
+    else:
+        modes = ("fp32", "bf16", "mixed", "mixed_fast")
 
     # ------------------------------------------------------------------
     # Trained weights: restore, or train once and save.

@@ -53,6 +53,9 @@ def main():
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--single", action="store_true",
                    help="single-process comparison run (8 local devices)")
+    p.add_argument("--do_resume", action="store_true",
+                   help="resume full training state from --outdir "
+                        "(the kill-and-resume rehearsal's second phase)")
     p.add_argument("--resident", action="store_true",
                    help="run the resident-store training mode (pool "
                         "replicated over the mesh, geometry sharded)")
@@ -82,7 +85,7 @@ def main():
         warmup_epochs=1, blr=2e-4, lr=None, min_lr=0.0, weight_decay=0.05,
         accum_iter=1, no_aug=False, num_workers=0, use_processes=False,
         resident_data=args.resident,
-        ckpt_every=0, do_resume=False, init_from_mae="",
+        ckpt_every=0, do_resume=args.do_resume, init_from_mae="",
         init_from_mae_model="", limit_steps=0, n_devices=0, panel_every=0,
         log_every=0, exact_gelu=False, debug_nans=False, wandb_project="",
         wandb_title="", wandb_team="", wandb_id="",

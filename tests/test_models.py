@@ -181,3 +181,49 @@ def test_precision_mode_ladder_on_cpu(rng):
         s = float(m.apply(params, imgs, boxes, 3).sum())
         rel = abs(s - ref) / max(abs(ref), 1e-6)
         assert np.isfinite(s) and rel < 0.05, f"{name}: rel {rel}"
+
+
+def test_head_stage_dtype_overrides(rng):
+    """head_stage_dtypes: all-None matches the base model bit-for-bit,
+    per-stage bf16 keeps the param tree byte-compatible and the output
+    bounded, and invalid configs are rejected (config validation)."""
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0, 1, (1, 3, 64, 64, 3)), jnp.float32)
+    base = CounTR(TINY)
+    params = _init(base, imgs, boxes, 3)
+    ref = np.asarray(base.apply(params, imgs, boxes, 3))
+
+    # all-None stage tuple == base model exactly
+    m0 = CounTR(dataclasses.replace(TINY, head_stage_dtypes=(None,) * 5))
+    np.testing.assert_array_equal(
+        np.asarray(m0.apply(params, imgs, boxes, 3)), ref
+    )
+
+    # one bf16 stage at a time: same param tree, bounded deviation
+    for k in range(5):
+        stages = tuple(jnp.bfloat16 if i == k else None for i in range(5))
+        mk = CounTR(dataclasses.replace(TINY, head_stage_dtypes=stages))
+        shapes = jax.eval_shape(lambda mk=mk: _init(mk, imgs, boxes, 3))
+        want = jax.tree.map(lambda x: (x.shape, str(x.dtype)), params)
+        got = jax.tree.map(lambda x: (x.shape, str(x.dtype)), shapes)
+        assert want == got, f"stage {k} changed the param tree"
+        out = mk.apply(params, imgs, boxes, 3)
+        assert out.dtype == jnp.float32
+        rel = np.abs(np.asarray(out) - ref).max() / max(np.abs(ref).max(), 1e-6)
+        assert np.isfinite(rel) and rel < 0.1, f"stage {k}: rel {rel}"
+
+    # candidate mix mode: bf16 trunk, fp32-HIGH head except stage 0
+    mix = CounTR(dataclasses.replace(
+        TINY, dtype=jnp.bfloat16, head_dtype=jnp.float32,
+        head_precision_high=True, approx_gelu=True,
+        head_stage_dtypes=(jnp.bfloat16, None, None, None, None),
+    ))
+    s = float(mix.apply(params, imgs, boxes, 3).sum())
+    assert np.isfinite(s)
+
+    with pytest.raises(ValueError, match="5 entries"):
+        dataclasses.replace(TINY, head_stage_dtypes=(None,) * 3)
+    with pytest.raises(ValueError, match="subpixel"):
+        dataclasses.replace(
+            TINY, subpixel_head=True, head_stage_dtypes=(None,) * 5
+        )

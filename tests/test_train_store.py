@@ -508,3 +508,81 @@ def test_pretrain_store_step(store_fixture):
     state, m = step(state, pstore.arrays, dev, jax.random.key(2))
     state, m = step(state, pstore.arrays, dev, jax.random.key(3))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_pipelined_step_matches_serial(store_fixture):
+    """The software-pipelined resident step (train on carried batch k
+    while materializing batch k+1 in the same program) must reproduce
+    the serial step's loss/metric/param trajectory exactly — same
+    pixels, photometric keys, and loss-mask key per batch."""
+    from countr_tpu.config import CounTRConfig, TrainConfig
+    from countr_tpu.data.fsc147 import TrainDataset
+    from countr_tpu.data.loader import DataLoader
+    from countr_tpu.engine.train import (
+        init_train_state, make_optimizer, make_store_finetune_step,
+        make_store_finetune_step_pipelined, make_store_materialize,
+        make_store_train_phase,
+    )
+    from countr_tpu.models.countr import CounTR
+
+    meta, store = store_fixture
+    ds = TrainDataset(meta, seed=0, store_index=store.index)
+    dl = DataLoader(ds, 4, shuffle=True, num_workers=0, drop_last=True, seed=0)
+    gkeys = ("img_idx", "affine_C", "affine_d", "is_mosaic", "cell_idx",
+             "cell_top", "cell_left", "cell_len", "blend_l", "dots", "n_dots")
+    batches = []
+    for ep in range(4):
+        for b in dl.epoch(ep):
+            batches.append({k: jnp.asarray(b[k]) for k in gkeys})
+    assert len(batches) >= 3
+    rngs = [jax.random.fold_in(jax.random.key(5), i) for i in range(len(batches))]
+    shots = [3, 1, 0, 2][: len(batches)] + [3] * max(0, len(batches) - 4)
+
+    cfg = CounTRConfig(
+        img_size=384, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        head_width=32,
+    )
+    model = CounTR(cfg)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 384, 384, 3)),
+        jnp.zeros((1, 3, 64, 64, 3)), 3,
+    )["params"]
+    tcfg = TrainConfig(batch_size=4, epochs=2, warmup_epochs=0, lr=1e-4)
+    tx, _ = make_optimizer(tcfg, 1, 4)
+
+    # serial trajectory
+    st_a = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    step = make_store_finetune_step(model, tcfg)
+    losses_a = []
+    for b, r, s in zip(batches, rngs, shots):
+        st_a, m = step(st_a, store.arrays, b, r, s)
+        losses_a.append(float(m["loss"]))
+
+    # pipelined trajectory: prime with batch 0, steps train k while
+    # materializing k+1, drain the last carry with the train phase
+    st_b = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    prime = make_store_materialize()
+    pstep = make_store_finetune_step_pipelined(model, tcfg)
+    train_phase = make_store_train_phase(model, tcfg)
+    carry = prime(store.arrays, batches[0], rngs[0])
+    losses_b = []
+    for k in range(len(batches) - 1):
+        st_b, m, carry = pstep(
+            st_b, store.arrays, carry, batches[k + 1], rngs[k + 1], shots[k]
+        )
+        losses_b.append(float(m["loss"]))
+    st_b, m = train_phase(st_b, carry, shots[len(batches) - 1])
+    losses_b.append(float(m["loss"]))
+
+    assert losses_a == pytest.approx(losses_b, rel=1e-4, abs=1e-7)
+    # params track to float-fusion noise: the pipelined program fuses
+    # materialization into the step program so per-op rounding can
+    # differ by ~1 ulp in the pixels, which Adam's grad/sqrt(v)
+    # normalization amplifies on a fresh random-init model (v ~ g^2 on
+    # the first steps). The loss sequence above is the trajectory
+    # proof; the param check only guards against a wrong-batch or
+    # wrong-key wiring (which would diverge by whole percents).
+    for a, b2 in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=0.05, atol=2e-4)
