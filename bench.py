@@ -49,7 +49,21 @@ TINY_RECTS = [(12, 12, 17, 17), (60, 60, 65, 65), (100, 100, 105, 105)]
 
 
 def main():
+    import argparse
     import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mode", default="few_shot", choices=("few_shot", "zero_shot"),
+        help="zero_shot prices the C12 path on-chip: shot_num=0 (learned "
+             "shot token, no exemplar CNN), no exemplar rects -> no TTN "
+             "and no grid mode (reference: FSC_test_cross(zero-shot).py, "
+             "run_minimal.MD:92-95). The driver's recorded metric is the "
+             "default few_shot.",
+    )
+    bench_args = ap.parse_args()
+    zero_shot = bench_args.mode == "zero_shot"
+    shot_num = 0 if zero_shot else 3
 
     import jax
     import jax.numpy as jnp
@@ -137,7 +151,8 @@ def main():
         imgs = jnp.asarray(
             rng.uniform(0, 1, (BATCH_WINDOWS, 384, 384, 3)), jnp.float32
         )
-        y = jnp.asarray(rng.uniform(-1, 1, (BATCH_WINDOWS, 3, 512)), jnp.bfloat16)
+        ny = 1 if zero_shot else 3  # zero-shot: one learned shot token
+        y = jnp.asarray(rng.uniform(-1, 1, (BATCH_WINDOWS, ny, 512)), jnp.bfloat16)
 
         def looped(imgs, p, y):
             def body(c, _):
@@ -165,11 +180,16 @@ def main():
         for i in range(N_IMAGES)
     ]
     boxes = [rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32) for _ in images]
-    rects = [
-        list(TINY_RECTS) if (i % GRID_EVERY) == GRID_EVERY - 1 else list(PLAIN_RECTS)
-        for i in range(N_IMAGES)
-    ]
-    n_grid = sum(1 for r in rects if r[0] == TINY_RECTS[0])
+    if zero_shot:
+        # no exemplar rects: no grid mode, no TTN (the reference's
+        # zero-shot route never exercises either)
+        rects = [[] for _ in range(N_IMAGES)]
+    else:
+        rects = [
+            list(TINY_RECTS) if (i % GRID_EVERY) == GRID_EVERY - 1 else list(PLAIN_RECTS)
+            for i in range(N_IMAGES)
+        ]
+    n_grid = sum(1 for r in rects if r and r[0] == TINY_RECTS[0])
 
     def device_pipeline_windows_per_sec(iters: int = 8):
         """Full device pipeline at device speed: one jitted scan whose
@@ -193,13 +213,13 @@ def main():
         # so the measured composition — including its grid share and
         # tail-bucket padding — is exactly what the e2e path runs.
         idxs = engine.plan_batch_sets(images, rects)[0]
-        sp = engine._plan_set(idxs, images, boxes, rects, 3)
+        sp = engine._plan_set(idxs, images, boxes, rects, shot_num)
         n = sp["plan"]["img_owner"].shape[0]
         n_img = len(idxs)
         n_grid = sum(1 for i in idxs if rects[i][0] == TINY_RECTS[0])
         # unified stream: one chunk ladder over plain+resampled windows
         slots = sum(bk for _, bk in chunk_plan(n, BATCH_WINDOWS))
-        args, _, make_loop = fused_set_program(model, sp, BATCH_WINDOWS, 3)
+        args, _, make_loop = fused_set_program(model, sp, BATCH_WINDOWS, shot_num)
         run = jax.jit(make_loop(iters))
         floor = dispatch_floor(iters)
         _ = float(run(params, *args))  # compile + warmup
@@ -232,7 +252,7 @@ def main():
     # Warmup pass compiles every shape (pooled forward + exemplar CNN).
     note("compiling + warmup...")
     t_c = time.perf_counter()
-    engine.count_batch(images, boxes, rects, shot_num=3, return_density=False)
+    engine.count_batch(images, boxes, rects, shot_num=shot_num, return_density=False)
     warmup_s = time.perf_counter() - t_c
     note(
         f"warmup done in {warmup_s:.1f}s "
@@ -249,7 +269,7 @@ def main():
     for _ in range(N_PASSES):
         t0 = time.perf_counter()
         results = engine.count_batch(
-            images, boxes, rects, shot_num=3, return_density=False
+            images, boxes, rects, shot_num=shot_num, return_density=False
         )
         times.append(time.perf_counter() - t0)
     dt = min(times)
@@ -284,7 +304,9 @@ def main():
         f"{projected_pcie_ips:.0f} img/s (device-bound, pipeline rate)"
     )
     out = {
-        "metric": "FSC147-geometry few-shot sliding-window throughput",
+        "metric": ("FSC147-geometry zero-shot sliding-window throughput"
+                   if zero_shot else
+                   "FSC147-geometry few-shot sliding-window throughput"),
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / BASELINE_IMAGES_PER_SEC, 2),

@@ -55,6 +55,12 @@ def get_args():
                         "materialize every augmented batch on device "
                         "from per-sample geometry scalars (~KBs/step "
                         "H2D; see countr_tpu.engine.train_store)")
+    p.add_argument("--resident_pipeline", action="store_true",
+                   help="software-pipeline the resident mode: train on "
+                        "batch k while materializing batch k+1 inside "
+                        "the same program (trajectory-exact vs the "
+                        "serial step; scripts/ab_overlap.py is the "
+                        "on-chip measurement)")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
@@ -226,14 +232,22 @@ def main(args):
             print(f"resumed epoch {start_epoch} from {last_dir}")
 
     val_store = None
+    pipelined = resident and getattr(args, "resident_pipeline", False)
+    _pstep = _prime = _train_phase = None
     if resident:
         from countr_tpu.engine.train import (
             make_store_eval_step, make_store_finetune_step,
+            make_store_finetune_step_pipelined, make_store_materialize,
+            make_store_train_phase,
         )
         from countr_tpu.engine.train_store import build_val_store
 
         _store_step = make_store_finetune_step(model, tcfg)
         store_arrays = store.arrays
+        if pipelined:
+            _pstep = make_store_finetune_step_pipelined(model, tcfg)
+            _prime = make_store_materialize()
+            _train_phase = make_store_train_phase(model, tcfg)
 
         def train_step(state, batch, rng, shot_num):
             # n_mosaic stays None (every slot pays the mosaic path):
@@ -284,13 +298,34 @@ def main(args):
         # a per-step list grows O(steps/epoch) and bloats on larger
         # datasets)
         totals = None
-        n_steps = 0
+        n_steps = 0  # batches TRAINED (the pipelined path trains one
+        # arrival behind, draining the carried batch after the loop)
+        n_seen = 0  # batches received
+        carry = None
+        carry_mflag = None
         for batch in device_prefetch(train_dl.epoch(epoch), put=put):
-            if args.limit_steps and n_steps >= args.limit_steps:
+            if args.limit_steps and n_seen >= args.limit_steps:
                 break
-            shot_num = sample_shot_num(py_rng, batch["m_flag"])
-            rng = jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + n_steps)
-            state, m = train_step(state, batch, rng, shot_num)
+            # rng is indexed by the batch's position in the epoch — the
+            # pipelined path consumes it one arrival early (the carry
+            # stores the post-split loss-mask key), reproducing the
+            # serial draw sequence exactly
+            rng = jax.random.fold_in(jax.random.key(args.seed), epoch * 100000 + n_seen)
+            n_seen += 1
+            if pipelined:
+                geom = {k: batch[k] for k in batch_keys}
+                if carry is None:
+                    carry = _prime(store_arrays, geom, rng)
+                    carry_mflag = batch["m_flag"]
+                    continue
+                shot_num = sample_shot_num(py_rng, carry_mflag)
+                state, m, carry = _pstep(
+                    state, store_arrays, carry, geom, rng, shot_num
+                )
+                carry_mflag = batch["m_flag"]
+            else:
+                shot_num = sample_shot_num(py_rng, batch["m_flag"])
+                state, m = train_step(state, batch, rng, shot_num)
             totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
             n_steps += 1
             if n_steps % 32 == 0:
@@ -311,6 +346,12 @@ def main(args):
                 wandb.log(rec, step=gstep)
                 for k, v in rec.items():
                     tb.scalar(k, v, gstep)
+        if pipelined and carry is not None:
+            # drain: train the last carried batch of the epoch
+            shot_num = sample_shot_num(py_rng, carry_mflag)
+            state, m = _train_phase(state, carry, shot_num)
+            totals = m if totals is None else jax.tree.map(jnp.add, totals, m)
+            n_steps += 1
         host_metrics = jax.device_get(totals) if totals is not None else {}
         tr_loss = float(host_metrics.get("loss", 0.0))
         tr_mae = float(host_metrics.get("mae", 0.0))

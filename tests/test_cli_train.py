@@ -154,3 +154,39 @@ def test_cli_finetune_nonmain_process_writes_nothing(
     assert not os.path.exists(os.path.join(out, "tb"))
     # collective checkpointing still ran (single process == primary)
     assert os.path.exists(os.path.join(out, "ckpt_last"))
+
+
+def test_cli_finetune_resident_pipeline_matches_serial(fsc_dir, tmp_path):  # noqa: F811
+    """--resident_pipeline (train batch k while materializing k+1) must
+    reproduce the serial resident CLI trajectory: same per-epoch loss
+    and val metrics over 2 epochs (the pipelined step is one arrival
+    behind but trains identical batches with identical keys)."""
+    import numpy as np
+
+    from countr_tpu.cli import finetune
+
+    def run(out, pipeline):
+        args = argparse.Namespace(
+            data_path=fsc_dir, anno_file="annotation_FSC147_384.json",
+            data_split_file="Train_Test_Val_FSC_147.json",
+            im_dir="images_384_VarV2", class_file="ImageClasses_FSC147.txt",
+            output_dir=out, model="tiny384", resume="", dtype="fp32", seed=0,
+            batch_size=4, epochs=2, warmup_epochs=1, blr=2e-4, lr=None,
+            min_lr=0.0, weight_decay=0.05, accum_iter=1, no_aug=False,
+            num_workers=0, use_processes=False, resident_data=True,
+            resident_pipeline=pipeline, device_aug=False,
+            ckpt_every=0, ckpt_last_every=1, do_resume=False,
+            init_from_mae="", limit_steps=0, n_devices=2, panel_every=0,
+            log_every=0,
+        )
+        finetune.main(args)
+        with open(os.path.join(out, "log.txt")) as f:
+            return [json.loads(l) for l in f if l.strip()]
+
+    serial = run(str(tmp_path / "ser"), False)
+    piped = run(str(tmp_path / "pipe"), True)
+    assert len(serial) == len(piped) == 2
+    for s, p in zip(serial, piped):
+        assert s["train/loss"] == pytest.approx(p["train/loss"], rel=1e-3)
+        assert s["val/MAE"] == pytest.approx(p["val/MAE"], rel=1e-3)
+        assert s["val/RMSE"] == pytest.approx(p["val/RMSE"], rel=1e-3)
