@@ -1,0 +1,89 @@
+"""Round-5 chip session driver: run every on-chip experiment in ONE
+process so the axon backend's first-dispatch handshake (measured up to
+~1100 s this session) is paid once, not per script.
+
+Order (highest value first; the crash-risky multi-element-slice gather
+probe runs LAST so a worker fault cannot take the session's earlier
+results with it):
+
+  1. scripts/ab_overlap.py      — pipelined vs serial resident step
+  2. scripts/eval_precision.py  — train synthetic weights + head bisect
+  3. scripts/profile_train.py   — batch-26 ledger (reference default)
+  4. bench.py --mode zero_shot  — C12 path priced on-chip
+  5. bench.py                   — few-shot record for this session
+  6. scripts/probe_gather_pair.py — 2-element slice gather probe
+
+Each stage's argv is patched and run via runpy in-process; a stage
+failure is recorded and the chain continues.
+
+  python scripts/r5_chip_session.py [--stages 1,2,3,4,5,6]
+"""
+
+import argparse
+import os
+import sys
+import time
+import traceback
+
+_here = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(_here)
+sys.path.insert(0, REPO)
+sys.path.insert(0, _here)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", default="1,2,3,4,5,6", type=str)
+    args = ap.parse_args()
+    stages = {int(s) for s in args.stages.split(",") if s}
+
+    import runpy
+
+    STAGES = {
+        1: (os.path.join(_here, "ab_overlap.py"),
+            ["--batch", "8", "--iters", "10", "--rounds", "4"]),
+        2: (os.path.join(_here, "eval_precision.py"),
+            ["--head_bisect", "--batch_windows", "16"]),
+        3: (os.path.join(_here, "profile_train.py"),
+            ["--batch", "26", "--iters", "10"]),
+        4: (os.path.join(REPO, "bench.py"), ["--mode", "zero_shot"]),
+        5: (os.path.join(REPO, "bench.py"), []),
+        6: (os.path.join(_here, "probe_gather_pair.py"),
+            ["--batch", "8", "--iters", "20"]),
+    }
+
+    # pay the handshake once, up front, and report it
+    t0 = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    print(f"[session] devices: {jax.devices()}", flush=True)
+    float(jnp.add(jnp.float32(1), jnp.float32(1)))
+    print(f"[session] handshake: {time.time() - t0:.1f}s", flush=True)
+
+    results = {}
+    for k in sorted(stages):
+        script, argv = STAGES[k]
+        print(f"\n===== stage {k}: {os.path.basename(script)} "
+              f"{' '.join(argv)} =====", flush=True)
+        sys.argv = [script] + argv
+        t0 = time.time()
+        try:
+            runpy.run_path(script, run_name="__main__")
+            results[k] = f"OK ({time.time() - t0:.0f}s)"
+        except SystemExit as e:
+            results[k] = (f"OK ({time.time() - t0:.0f}s)" if not e.code
+                          else f"EXIT {e.code} ({time.time() - t0:.0f}s)")
+        except Exception:
+            traceback.print_exc()
+            results[k] = f"FAILED ({time.time() - t0:.0f}s)"
+        print(f"===== stage {k}: {results[k]} =====", flush=True)
+
+    print("\n[session] summary:", flush=True)
+    for k in sorted(results):
+        print(f"  stage {k} ({os.path.basename(STAGES[k][0])}): {results[k]}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
