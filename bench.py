@@ -216,7 +216,7 @@ def main():
         sp = engine._plan_set(idxs, images, boxes, rects, shot_num)
         n = sp["plan"]["img_owner"].shape[0]
         n_img = len(idxs)
-        n_grid = sum(1 for i in idxs if rects[i][0] == TINY_RECTS[0])
+        n_grid = sum(1 for i in idxs if rects[i] and rects[i][0] == TINY_RECTS[0])
         # unified stream: one chunk ladder over plain+resampled windows
         slots = sum(bk for _, bk in chunk_plan(n, BATCH_WINDOWS))
         args, _, make_loop = fused_set_program(model, sp, BATCH_WINDOWS, shot_num)

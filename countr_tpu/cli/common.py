@@ -35,13 +35,18 @@ def add_model_args(p: argparse.ArgumentParser, default_model: str = "mae_vit_bas
     p.add_argument("--resume", default="", type=str,
                    help=".pth checkpoint (reference format) or orbax dir")
     p.add_argument("--dtype", default="bf16",
-                   choices=["bf16", "fp32", "mixed", "mixed_fast"],
+                   choices=["bf16", "fp32", "mixed", "mixed_fast",
+                            "mixed_bal"],
                    help="compute dtype; fp32 gives bit-parity with the torch "
                         "reference; mixed = bf16 encoder/decoder + fp32 "
                         "density head (cuts bf16 count error ~5x at half "
                         "speed); mixed_fast runs the fp32 head at "
                         "Precision.HIGH (3-pass MXU) — mixed-level "
-                        "accuracy, faster")
+                        "accuracy, faster; mixed_bal additionally runs "
+                        "head stages 0-2 in bf16 (the round-5 head "
+                        "bisection: error concentrates in the last conv "
+                        "stage + pred) — ~14%% faster than mixed_fast at "
+                        "~2.4x its max count deviation (docs/PARITY.md)")
     p.add_argument("--exact_gelu", action="store_true",
                    help="force exact erf GELU even in bf16/mixed modes "
                         "(the bf16 fast path defaults to tanh GELU, whose "
@@ -84,7 +89,16 @@ def parse_dtype(name: str):
 
 def parse_head_dtype(name: str):
     """Density-head dtype override: the mixed modes keep it fp32."""
-    return jnp.float32 if name in ("mixed", "mixed_fast") else None
+    return jnp.float32 if name in ("mixed", "mixed_fast", "mixed_bal") else None
+
+
+def parse_head_stage_dtypes(name: str):
+    """mixed_bal: bf16 head stages 0-2 under the fp32-HIGH tail — the
+    round-5 head bisection places the count error in the last conv
+    stage + pred (docs/PARITY.md), so the cheap early stages ride bf16."""
+    if name == "mixed_bal":
+        return (jnp.bfloat16, jnp.bfloat16, jnp.bfloat16, None, None)
+    return None
 
 
 def load_meta(args):
@@ -126,7 +140,8 @@ def build_counting_model(args, training: bool = False) -> Tuple[object, dict]:
     model = build_countr(
         args.model, dtype=dtype,
         head_dtype=parse_head_dtype(args.dtype),
-        head_precision_high=args.dtype == "mixed_fast",
+        head_stage_dtypes=parse_head_stage_dtypes(args.dtype),
+        head_precision_high=args.dtype in ("mixed_fast", "mixed_bal"),
         # bf16 fast mode: fused Pallas attention/LayerNorm kernels and
         # tanh GELU (2.1x the fp32-op throughput at batch 32 on v5e,
         # scripts/profile_forward.py); fp32 keeps the exact parity ops.

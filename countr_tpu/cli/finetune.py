@@ -56,11 +56,12 @@ def get_args():
                         "from per-sample geometry scalars (~KBs/step "
                         "H2D; see countr_tpu.engine.train_store)")
     p.add_argument("--resident_pipeline", action="store_true",
-                   help="software-pipeline the resident mode: train on "
-                        "batch k while materializing batch k+1 inside "
-                        "the same program (trajectory-exact vs the "
-                        "serial step; scripts/ab_overlap.py is the "
-                        "on-chip measurement)")
+                   help="software-pipeline the resident mode: dispatch "
+                        "batch k+1's materialization program ahead of "
+                        "batch k's train program so the runtime "
+                        "overlaps them (trajectory-exact vs the serial "
+                        "step; scripts/ab_overlap.py is the on-chip "
+                        "measurement)")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
@@ -233,11 +234,11 @@ def main(args):
 
     val_store = None
     pipelined = resident and getattr(args, "resident_pipeline", False)
-    _pstep = _prime = _train_phase = None
+    _prime = _train_phase = None
     if resident:
         from countr_tpu.engine.train import (
             make_store_eval_step, make_store_finetune_step,
-            make_store_finetune_step_pipelined, make_store_materialize,
+            make_store_materialize,
             make_store_train_phase,
         )
         from countr_tpu.engine.train_store import build_val_store
@@ -245,7 +246,10 @@ def main(args):
         _store_step = make_store_finetune_step(model, tcfg)
         store_arrays = store.arrays
         if pipelined:
-            _pstep = make_store_finetune_step_pipelined(model, tcfg)
+            # two-dispatch pipeline: materialize program + train
+            # program per step (the fused single-program variant,
+            # make_store_finetune_step_pipelined, measured neutral —
+            # scripts/ab_overlap.py)
             _prime = make_store_materialize()
             _train_phase = make_store_train_phase(model, tcfg)
 
@@ -314,14 +318,20 @@ def main(args):
             n_seen += 1
             if pipelined:
                 geom = {k: batch[k] for k in batch_keys}
+                # Dispatch batch j's materialization, THEN train the
+                # carried batch j-1 — two queued programs whose
+                # independence the runtime overlaps (measured 64.3 ->
+                # ~55-58 ms/step at b8, scripts/ab_overlap.py; fusing
+                # both into one program measured NEUTRAL — XLA
+                # schedules the ops serially on the core).
+                nxt_carry = _prime(store_arrays, geom, rng)
                 if carry is None:
-                    carry = _prime(store_arrays, geom, rng)
+                    carry = nxt_carry
                     carry_mflag = batch["m_flag"]
                     continue
                 shot_num = sample_shot_num(py_rng, carry_mflag)
-                state, m, carry = _pstep(
-                    state, store_arrays, carry, geom, rng, shot_num
-                )
+                state, m = _train_phase(state, carry, shot_num)
+                carry = nxt_carry
                 carry_mflag = batch["m_flag"]
             else:
                 shot_num = sample_shot_num(py_rng, batch["m_flag"])

@@ -138,7 +138,11 @@ def main():
 
     def two_dispatch_run(state, carry):
         # iters steps, each = one materialize dispatch + one train
-        # dispatch; returns (state, carry, last_metrics)
+        # dispatch; returns (state, carry, last_metrics). The caller
+        # must fetch BOTH the last metrics AND a scalar of the final
+        # carry — the last materialize feeds nothing the metrics fetch
+        # waits on, so timing only the loss would drop one mat from
+        # the measurement.
         m = None
         for i in range(iters):
             nxt = mat_jit(sa, batch, jax.random.fold_in(jax.random.key(3), i))
@@ -162,31 +166,34 @@ def main():
         float(erun(x0))
         return time.perf_counter() - t0
 
+    def fetch(r):
+        return float(np.asarray(r).ravel()[0])
+
     run_serial = jax.jit(serial_chain)
     run_pipe = jax.jit(pipe_chain)
     carry0 = prime(sa, batch, jax.random.key(9))
 
     print("compiling serial...", flush=True)
-    float(run_serial(state0, sa, batch))
+    fetch(run_serial(state0, sa, batch))
     print("compiling pipelined...", flush=True)
-    float(run_pipe(state0, sa, batch, carry0))
+    fetch(run_pipe(state0, sa, batch, carry0))
     print("compiling two-dispatch...", flush=True)
     # train_phase donates (state, carry): hand it copies every run
     st, cr, m = two_dispatch_run(
         jax.tree.map(jnp.copy, state0), jax.tree.map(jnp.copy, carry0)
     )
-    float(m["loss"])
+    float(m["loss"]); float(cr["imgs"][0, 0, 0, 0])
 
     best = {"serial": 1e9, "pipelined": 1e9, "serial-2disp": 1e9}
     for r in range(args.rounds):
         fl = floor_once()
         t0 = time.perf_counter()
-        float(run_serial(state0, sa, batch))
+        fetch(run_serial(state0, sa, batch))
         best["serial"] = min(best["serial"],
                              (time.perf_counter() - t0 - fl) / iters)
         fl = floor_once()
         t0 = time.perf_counter()
-        float(run_pipe(state0, sa, batch, carry0))
+        fetch(run_pipe(state0, sa, batch, carry0))
         best["pipelined"] = min(best["pipelined"],
                                 (time.perf_counter() - t0 - fl) / iters)
         st_c = jax.tree.map(jnp.copy, state0)
@@ -194,7 +201,10 @@ def main():
         fl = floor_once()
         t0 = time.perf_counter()
         st, cr, m = two_dispatch_run(st_c, cr_c)
-        float(m["loss"])
+        # await the final mat via a 1-element device slice — np.asarray
+        # of the whole carry would drag 14 MB through the tunnel and
+        # bill ~90 ms/step of D2H to the variant
+        float(m["loss"]); float(cr["imgs"][0, 0, 0, 0])
         best["serial-2disp"] = min(best["serial-2disp"],
                                    (time.perf_counter() - t0 - fl) / iters)
         print(f"round {r}: " + "  ".join(

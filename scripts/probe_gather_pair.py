@@ -136,14 +136,14 @@ def main():
     assert err < 1e-5, "pair sampler mismatch"
 
     # ---- timing (interleaved, chained scan, floor-subtracted) --------
-    def izero(c):
-        return jnp.int32(c * 1e-20)
-
     def seg(f):
         def looped(bt):
             def body(c, _):
+                # perturb ONLY affine_d: a carry-derived img_idx would
+                # flip the backend onto the ~2.5x slow gather path
+                # (scripts/probe_affine_seg.py variants i/j/c) and mask
+                # the fast-path comparison this probe is after
                 bb = dict(bt)
-                bb["img_idx"] = bt["img_idx"] + izero(c)
                 bb["affine_d"] = bt["affine_d"] + c * 1e-12
                 out = f(bb)
                 return jnp.float32(out.ravel()[0]) * 1e-12, None

@@ -270,7 +270,7 @@ def main():
     # in one call beat 4 calls? (probe_gather says the taps are
     # per-element-bound, so this measures the per-call fixed overhead.)
     b4 = 4 * b
-    samples4 = [ds[i] for i in range(b4)]
+    samples4 = [ds[i % len(ds)] for i in range(b4)]
     batch4 = {k: jax.device_put(np.stack([s[k] for s in samples4]))
               for k in keys}
     dt4 = seg("materialize 4x batch (amortization probe)",

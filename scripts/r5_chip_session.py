@@ -50,6 +50,12 @@ def main():
         5: (os.path.join(REPO, "bench.py"), []),
         6: (os.path.join(_here, "probe_gather_pair.py"),
             ["--batch", "8", "--iters", "20"]),
+        # composed head-precision candidates, chosen from the stage-2
+        # head bisect (error concentrates in hs4 = pred+final-up, then
+        # hs3): price error AND device rate per candidate
+        7: (os.path.join(_here, "eval_precision.py"),
+            ["--modes", "fp32,bf16,mixed_fast,mix:01,mix:012,mix:0123",
+             "--batch_windows", "16"]),
     }
 
     # pay the handshake once, up front, and report it

@@ -206,3 +206,66 @@ def test_fused_block_gated_per_mode(monkeypatch):
     assert build(training=False)["fused_attn_block"] is True
     # both stay on the Pallas fast mode in bf16
     assert build(training=True)["use_pallas_attention"] is True
+
+
+def test_mixed_bal_mode_build(monkeypatch):
+    """--dtype mixed_bal: bf16 trunk + fp32-HIGH head with stages 0-2
+    bf16 (round-5 head bisection: the count error concentrates in the
+    last conv stage + pred; docs/PARITY.md), subpixel head OFF (the
+    fused phase path requires one head dtype)."""
+    import jax.numpy as jnp
+
+    import countr_tpu.models as models
+    from countr_tpu.cli import common
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_build(name, **kw):
+        captured.update(kw)
+        raise _Stop
+
+    monkeypatch.setattr(models, "build_countr", fake_build)
+    args = argparse.Namespace(model="tiny384", resume="", dtype="mixed_bal")
+    with pytest.raises(_Stop):
+        common.build_counting_model(args, training=False)
+    assert captured["dtype"] == jnp.bfloat16
+    assert captured["head_dtype"] == jnp.float32
+    assert captured["head_precision_high"] is True
+    assert captured["head_stage_dtypes"] == (
+        jnp.bfloat16, jnp.bfloat16, jnp.bfloat16, None, None
+    )
+    assert captured["subpixel_head"] is False
+    # the other modes keep head_stage_dtypes unset
+    captured.clear()
+    args = argparse.Namespace(model="tiny384", resume="", dtype="mixed_fast")
+    with pytest.raises(_Stop):
+        common.build_counting_model(args, training=False)
+    assert captured["head_stage_dtypes"] is None
+
+    # mixed_bal must actually BUILD and run (config validation accepts
+    # the tuple; tiny CPU forward is finite)
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from countr_tpu.config import CounTRConfig
+    from countr_tpu.models.countr import CounTR
+
+    cfg = CounTRConfig(
+        img_size=64, patch_size=16, embed_dim=32, depth=1, num_heads=2,
+        decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+        head_width=32, dtype=jnp.bfloat16, head_dtype=jnp.float32,
+        head_precision_high=True,
+        head_stage_dtypes=(jnp.bfloat16, jnp.bfloat16, jnp.bfloat16,
+                           None, None),
+    )
+    m = CounTR(cfg)
+    imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    boxes = jnp.zeros((1, 3, 64, 64, 3), jnp.float32)
+    params = m.init(jax.random.key(0), imgs, boxes, 3)
+    out = m.apply(params, imgs, boxes, 3)
+    assert out.dtype == jnp.float32 and np.isfinite(float(out.sum()))
