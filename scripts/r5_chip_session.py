@@ -56,6 +56,15 @@ def main():
         7: (os.path.join(_here, "eval_precision.py"),
             ["--modes", "fp32,bf16,mixed_fast,mix:01,mix:012,mix:0123",
              "--batch_windows", "16"]),
+        # external-exemplar smoke ON the chip (C11 --external evidence
+        # beyond CPU tests; reference: FSC_test_cross(few-shot).py:91-129)
+        # — dataset + trained ckpt come from earlier stages' /tmp
+        # artifacts (make_synthetic_fsc + eval_precision's training)
+        8: ("-m countr_tpu.cli.test",
+            ["--data_path", "/tmp/synth_fsc", "--external", "--limit", "8",
+             "--resume", "/tmp/countr_synth_ckpt",
+             "--model", "mae_vit_base6_patch16", "--dtype", "bf16",
+             "--output_dir", "/tmp/ext_smoke"]),
     }
 
     # pay the handshake once, up front, and report it
@@ -72,10 +81,20 @@ def main():
         script, argv = STAGES[k]
         print(f"\n===== stage {k}: {os.path.basename(script)} "
               f"{' '.join(argv)} =====", flush=True)
-        sys.argv = [script] + argv
+        if k == 8 and not os.path.isdir("/tmp/synth_fsc"):
+            sys.argv = [os.path.join(_here, "make_synthetic_fsc.py"),
+                        "--out", "/tmp/synth_fsc", "--n_train", "32",
+                        "--n_val", "8", "--n_test", "16"]
+            runpy.run_path(sys.argv[0], run_name="__main__")
         t0 = time.time()
         try:
-            runpy.run_path(script, run_name="__main__")
+            if script.startswith("-m "):
+                sys.argv = [script] + argv
+                runpy.run_module(script[3:], run_name="__main__",
+                                 alter_sys=False)
+            else:
+                sys.argv = [script] + argv
+                runpy.run_path(script, run_name="__main__")
             results[k] = f"OK ({time.time() - t0:.0f}s)"
         except SystemExit as e:
             results[k] = (f"OK ({time.time() - t0:.0f}s)" if not e.code
