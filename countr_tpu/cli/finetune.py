@@ -56,12 +56,15 @@ def get_args():
                         "from per-sample geometry scalars (~KBs/step "
                         "H2D; see countr_tpu.engine.train_store)")
     p.add_argument("--resident_pipeline", action="store_true",
-                   help="software-pipeline the resident mode: dispatch "
-                        "batch k+1's materialization program ahead of "
-                        "batch k's train program so the runtime "
-                        "overlaps them (trajectory-exact vs the serial "
-                        "step; scripts/ab_overlap.py is the on-chip "
-                        "measurement)")
+                   help="EXPERIMENTAL: software-pipeline the resident "
+                        "mode as two dispatches per step (materialize "
+                        "k+1, train k). Trajectory-exact vs the serial "
+                        "step, but measured 1.5-2.4x SLOWER on the "
+                        "axon v5e: a standalone materialize program "
+                        "pays the backend's ~3x slow gather path "
+                        "(scripts/{ab_overlap,probe_2disp_parts}.py, "
+                        "docs/PROFILE.md). Kept for backends without "
+                        "the program-boundary gather penalty")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
@@ -247,9 +250,10 @@ def main(args):
         store_arrays = store.arrays
         if pipelined:
             # two-dispatch pipeline: materialize program + train
-            # program per step (the fused single-program variant,
-            # make_store_finetune_step_pipelined, measured neutral —
-            # scripts/ab_overlap.py)
+            # program per step. Measured SLOWER than serial on axon
+            # (standalone mat program = slow gather path, 112 vs 36
+            # ms/iter — scripts/probe_2disp_parts.py); the fused
+            # single-program variant measured neutral. Opt-in only.
             _prime = make_store_materialize()
             _train_phase = make_store_train_phase(model, tcfg)
 

@@ -239,7 +239,12 @@ def make_store_finetune_step_pipelined(
     materializing + augmenting the NEXT batch inside the same program —
     the ~34 ms/batch-8 affine gather (52% of the serial 64.75 ms step,
     docs/PROFILE.md) is independent of the fwd/bwd it runs next to, so
-    the compiler/hardware may overlap gather DMA traffic with MXU work.
+    the compiler/hardware could in principle overlap gather DMA traffic
+    with MXU work. MEASURED NEUTRAL on the axon v5e (64.8 vs 64.7
+    ms/step — XLA schedules the subgraphs serially on the TensorCore;
+    the two-dispatch split is slower still, docs/PROFILE.md round-5
+    overlap section). Kept as the trajectory-exact pipelined form for
+    backends that do overlap.
 
       step(state, store_arrays, carry, next_batch, next_rng, shot_num,
            n_mosaic) -> (state, metrics, next_carry)

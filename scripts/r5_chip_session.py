@@ -65,6 +65,10 @@ def main():
              "--resume", "/tmp/countr_synth_ckpt",
              "--model", "mae_vit_base6_patch16", "--dtype", "bf16",
              "--output_dir", "/tmp/ext_smoke"]),
+        # decompose the two-dispatch pipeline's cost: standalone vs
+        # in-scan materialize programs + biased-vs-honest fetch delta
+        9: (os.path.join(_here, "probe_2disp_parts.py"),
+            ["--batch", "8", "--iters", "10", "--rounds", "4"]),
     }
 
     # pay the handshake once, up front, and report it
