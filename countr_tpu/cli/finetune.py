@@ -60,11 +60,12 @@ def get_args():
                         "mode as two dispatches per step (materialize "
                         "k+1, train k). Trajectory-exact vs the serial "
                         "step, but measured 1.5-2.4x SLOWER on the "
-                        "axon v5e: a standalone materialize program "
-                        "pays the backend's ~3x slow gather path "
+                        "axon v5e: the materialize program's fresh "
+                        "14 MB outputs pay ~4.6 ms/MB per-dispatch "
+                        "staging, swamping the real overlap "
                         "(scripts/{ab_overlap,probe_2disp_parts}.py, "
                         "docs/PROFILE.md). Kept for backends without "
-                        "the program-boundary gather penalty")
+                        "the fresh-output staging cost")
     p.add_argument("--num_workers", default=8, type=int)
     p.add_argument("--use_processes", action="store_true",
                    help="process-pool data workers (GIL-free aug "
@@ -251,9 +252,10 @@ def main(args):
         if pipelined:
             # two-dispatch pipeline: materialize program + train
             # program per step. Measured SLOWER than serial on axon
-            # (standalone mat program = slow gather path, 112 vs 36
-            # ms/iter — scripts/probe_2disp_parts.py); the fused
-            # single-program variant measured neutral. Opt-in only.
+            # (the mat program's fresh 14 MB outputs pay ~4.6 ms/MB
+            # per-dispatch staging, 112 vs 36 ms/iter —
+            # scripts/probe_2disp_parts.py); the fused single-program
+            # variant measured neutral. Opt-in only.
             _prime = make_store_materialize()
             _train_phase = make_store_train_phase(model, tcfg)
 

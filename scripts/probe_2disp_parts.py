@@ -23,7 +23,32 @@ extra cost lives, all in ONE session so chip weather cancels:
                 the fast gather lowering is scan-body-specific);
   mat-loop-ikey — separate dispatches whose rng key is derived
                 IN-program from an int32 step argument (tests whether
-                the key-as-argument form is the slow-path trigger).
+                the key-as-argument form is the slow-path trigger);
+  mat-loop-reduce — separate dispatches whose program reduces the
+                materialized batch to ONE scalar in-program (no
+                multi-MB program outputs: tests whether the excess is
+                output staging, the last structural difference vs the
+                fast in-scan form);
+  mat-loop-donate — separate dispatches that donate a carry-shaped
+                scratch pytree so XLA aliases the 14 MB outputs to
+                donated input buffers (tests whether aliased outputs
+                skip the staging cost — if so, the two-dispatch
+                pipeline becomes viable: the train program already
+                measures as fully hidden under the mat dispatches).
+
+RESULTS (v5e, batch 8, four sessions): mat-scan 36.2-36.4 ms/iter;
+mat-loop / scan1 / ikey / donate all 111-114 ms/dispatch (the donated
+scratch was reported "not usable" — no alias pairing found);
+mat-loop-reduce 47.4-48.9. The discriminator is OUTPUT BYTES: fresh
+multi-MB program outputs cost ~4.6 ms/MB per dispatch (+~11 ms fixed
+per execution, fitted from --iters 3 vs 10). The full gather runs at
+fast-path cost standalone (the reduce variant), and 2disp@all tracks
+mat-loop alone — the ~28 ms train program hides completely under the
+queued mats, so the runtime overlaps independent programs; the
+staging cost is what kills the pipeline. See also
+probe_program_overhead.py (not input binding) and
+probe_prod_dispatch.py (donation-ALIASED 704 MB TrainState outputs
+are exempt: the production loop costs 62.8 ms/step).
 
   python scripts/probe_2disp_parts.py [--batch 8] [--iters 10]
 """
@@ -171,6 +196,40 @@ def main():
         outs = [mat_ikey(sa, batch, jnp.int32(i)) for i in range(iters)]
         return float(force([o["imgs"][0, 0, 0, 0] for o in outs]))
 
+    # standalone program with NO multi-MB outputs: the full
+    # materialization reduced to one scalar in-program (the same
+    # anti-DCE reduce the fast mat-scan uses)
+    @jax.jit
+    def mat_reduce(sa, batch, rng):
+        c = _materialize_train_batch(sa, batch, rng)
+        return (jnp.sum(c["imgs"].astype(jnp.float32))
+                + jnp.sum(c["gt"].astype(jnp.float32))
+                + jnp.sum(c["boxes"].astype(jnp.float32)))
+
+    def mat_loop_reduce():
+        outs = [mat_reduce(sa, batch,
+                           jax.random.fold_in(jax.random.key(3), i))
+                for i in range(iters)]
+        return float(force(outs))
+
+    # standalone program whose 14 MB outputs alias a DONATED
+    # carry-shaped scratch pytree
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def mat_donate(sa, batch, scratch, rng):
+        del scratch  # donated: XLA aliases the outputs to its buffers
+        return _materialize_train_batch(sa, batch, rng)
+
+    def make_scratches():
+        return [jax.tree.map(jnp.copy, carry0) for _ in range(iters)]
+
+    def mat_loop_donate(scratches):
+        outs = [mat_donate(sa, batch, scratches[i],
+                           jax.random.fold_in(jax.random.key(3), i))
+                for i in range(iters)]
+        return float(force([o["imgs"][0, 0, 0, 0] for o in outs]))
+
     def train_loop(st, carries):
         m = None
         for c in carries:
@@ -208,6 +267,8 @@ def main():
     mat_loop()
     mat_loop_scan1()
     mat_loop_ikey()
+    mat_loop_reduce()
+    mat_loop_donate(make_scratches())
     train_loop(jax.tree.map(jnp.copy, state0),
                [jax.tree.map(jnp.copy, carry0) for _ in range(iters)])
     st, cr, m = two_disp(jax.tree.map(jnp.copy, state0),
@@ -215,7 +276,8 @@ def main():
     float(m["loss"]); float(cr["imgs"][0, 0, 0, 0])
 
     best = {k: 1e9 for k in ("mat-scan", "mat-loop", "mat-loop-scan1",
-                             "mat-loop-ikey", "train-scan",
+                             "mat-loop-ikey", "mat-loop-reduce",
+                             "mat-loop-donate", "train-scan",
                              "train-loop", "2disp@loss", "2disp@all")}
     for r in range(args.rounds):
         fl = floor_once()
@@ -241,6 +303,21 @@ def main():
         mat_loop_ikey()
         best["mat-loop-ikey"] = min(best["mat-loop-ikey"],
                                     (time.perf_counter() - t0 - fl) / iters)
+
+        fl = floor_once()
+        t0 = time.perf_counter()
+        mat_loop_reduce()
+        best["mat-loop-reduce"] = min(
+            best["mat-loop-reduce"],
+            (time.perf_counter() - t0 - fl) / iters)
+
+        scr = make_scratches()
+        fl = floor_once()
+        t0 = time.perf_counter()
+        mat_loop_donate(scr)
+        best["mat-loop-donate"] = min(
+            best["mat-loop-donate"],
+            (time.perf_counter() - t0 - fl) / iters)
 
         st_c = jax.tree.map(jnp.copy, state0)
         fl = floor_once()

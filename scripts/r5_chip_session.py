@@ -69,6 +69,12 @@ def main():
         # in-scan materialize programs + biased-vs-honest fetch delta
         9: (os.path.join(_here, "probe_2disp_parts.py"),
             ["--batch", "8", "--iters", "10", "--rounds", "4"]),
+        # graded-operand trivial programs: rules out input binding as
+        # the per-dispatch cost (it's output staging)
+        10: (os.path.join(_here, "probe_program_overhead.py"), []),
+        # the PRODUCTION per-dispatch train loop vs the chained ledger
+        # (donated TrainState outputs skip the staging cost)
+        11: (os.path.join(_here, "probe_prod_dispatch.py"), []),
     }
 
     # pay the handshake once, up front, and report it
