@@ -22,11 +22,22 @@ program cost.
                 the hoist;
   prod-loop   — 10 production step dispatches, state threaded with
                 donation, loss fetched once at the end (the CLI's
-                actual dispatch pattern).
+                actual dispatch pattern);
+  prod-scanK  — 10 DIFFERENT batches' geometry pre-stacked [K, ...]
+                and consumed by ONE K-step scanned program (geometry
+                stays argument-derived → fast gather; varies per step
+                → no hoisting). If the ~11 ms fixed per-execution
+                cost is real for the production step, this wins
+                ~10 ms/step and a --steps_per_dispatch CLI mode is
+                worth wiring.
 
-RESULT (v5e, batch 8): prod-loop 62.84 ms/step ≈ the 64.75 chained
-ledger — the 704 MB donated TrainState outputs carry NO per-dispatch
-staging cost, so the CLI's per-batch dispatch loop is sound.
+RESULT (v5e, batch 8): prod-loop 55.9-62.8 ms/step across two
+sessions ≈ the 64.75 chained ledger — the 704 MB donated TrainState
+outputs carry NO per-dispatch staging cost, so the CLI's per-batch
+dispatch loop is sound. prod-scanK 56.16 vs prod-loop 55.89
+same-session: batching K steps into ONE scanned program buys nothing
+(the production step has ~zero per-dispatch overhead); a
+--steps_per_dispatch CLI mode is NOT worth wiring.
 
   python scripts/probe_prod_dispatch.py [--batch 8] [--iters 10]
 """
@@ -101,6 +112,14 @@ def main():
     samples = [ds[i] for i in range(b)]
     batch = {k: jax.device_put(np.stack([s[k] for s in samples]))
              for k in keys}
+    # iters DISTINCT batches, stacked [iters, b, ...] for the scan form
+    stacked = {}
+    for k in keys:
+        rows = []
+        for j in range(args.iters):
+            smp = [ds[(j * b + i) % len(ds)] for i in range(b)]
+            rows.append(np.stack([s[k] for s in smp]))
+        stacked[k] = jax.device_put(np.stack(rows))
 
     step_fn = make_store_finetune_step(model, tcfg)
 
@@ -122,6 +141,18 @@ def main():
             state, m = step_fn(
                 state, sa, batch, jax.random.fold_in(jax.random.key(3), i), 3)
         return state, m
+
+    def scank_chain(state, sa, stacked):
+        def body(st, xs):
+            geom, i = xs
+            st, m = step_fn(st, sa, geom,
+                            jax.random.fold_in(jax.random.key(3), i), 3)
+            return st, m["loss"]
+
+        st, losses = lax.scan(body, state, (stacked, jnp.arange(iters)))
+        return st, losses[-1][None]
+
+    run_scank = jax.jit(scank_chain, donate_argnums=(0,))
 
     def empty(x):
         def body(c, _):
@@ -145,8 +176,10 @@ def main():
     # honest fetch: last loss + a 1-element slice of the final state
     float(m["loss"])
     float(jax.tree.leaves(st)[0].ravel()[0])
+    st, losses = run_scank(jax.tree.map(jnp.copy, state0), sa, stacked)
+    float(losses[0]); float(jax.tree.leaves(st)[0].ravel()[0])
 
-    best = {"serial-scan": 1e9, "prod-loop": 1e9}
+    best = {"serial-scan": 1e9, "prod-loop": 1e9, "prod-scanK": 1e9}
     for r in range(args.rounds):
         st_c = jax.tree.map(jnp.copy, state0)
         fl = floor_once()
@@ -163,6 +196,15 @@ def main():
         float(jax.tree.leaves(st)[0].ravel()[0])
         best["prod-loop"] = min(best["prod-loop"],
                                 (time.perf_counter() - t0 - fl) / iters)
+
+        st_c = jax.tree.map(jnp.copy, state0)
+        fl = floor_once()
+        t0 = time.perf_counter()
+        st, losses = run_scank(st_c, sa, stacked)
+        float(losses[0])
+        float(jax.tree.leaves(st)[0].ravel()[0])
+        best["prod-scanK"] = min(best["prod-scanK"],
+                                 (time.perf_counter() - t0 - fl) / iters)
         print(f"round {r}: " + "  ".join(
             f"{k} {v * 1e3:.2f}" for k, v in best.items()), flush=True)
 
